@@ -1,0 +1,63 @@
+"""Fixture catalog: load the driver-generated parquet tables.
+
+Tables (FIXTURES.md): region nation customer supplier part orders
+lineitem events documents embeddings. Parquet carries its own schema
+— no inference. ``load_table`` is the single scan entry point so
+every operator inherits predicate pushdown + column pruning from the
+parquet source (verified by plan tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor
+# (region/nation are fixed-size; supplier grows but stays tiny
+# relative to the fact table in this schema).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
+    truncate to a µs TimestampType — bit-identical to DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` for post-epoch data, so oracle SQL
+    must wrap ts the same way (verified in tests)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the spark.sql twins."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,11 @@
+"""Operator modules — importing this package runs every
+``@query`` decorator and populates the registry.
+
+Module list grows as SURVEY.md §2 families land; keep imports
+explicit so a broken module fails loudly at registration time.
+"""
+
+from infofarmsparkml_spark.operators import (  # noqa: F401
+    aggregates,
+    scans,
+)

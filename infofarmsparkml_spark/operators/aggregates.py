@@ -1,0 +1,350 @@
+"""Aggregations (SURVEY.md §2.4, A1-A11).
+
+All hash aggregations: Spark plans partial (map-side) + final
+aggregation automatically, so these shuffle only the per-group
+partial states — the right shape at 100 TB. Double-typed aggregates
+are rounded on BOTH the Spark and oracle side because float
+summation order is engine- and partitioning-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table, net_price, r, ts_lit
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "agg_hash_global",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(COUNT(l_orderkey) AS BIGINT) AS n_orderkeys,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  MIN(l_shipdate) AS min_ship,
+  MAX(l_shipdate) AS max_ship,
+  ROUND(MIN(l_discount), 2) AS min_disc,
+  ROUND(MAX(l_tax), 2) AS max_tax
+FROM lineitem
+""",
+)
+def agg_hash_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global aggregates — single-row result, no group keys."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("n_orderkeys"),
+        r(F.sum("l_quantity")).alias("sum_qty"),
+        r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        r(F.min("l_discount")).alias("min_disc"),
+        r(F.max("l_tax")).alias("max_tax"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (flagship): TPC-H Q1-shape pricing summary.
+
+    Scan → pushed-down filter → 8 aggregates over 2 group keys.
+    6 groups total, so the final shuffle is tiny regardless of
+    input scale — all the work is map-side partial aggregation.
+    """
+    lf = load_table(spark, sf_dir, "lineitem")
+    charge = net_price() * (1 + F.col("l_tax"))
+    return (
+        lf.filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r(F.sum("l_quantity")).alias("sum_qty"),
+            r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r(F.sum(net_price())).alias("sum_disc_price"),
+            r(F.sum(charge)).alias("sum_charge"),
+            r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct aggregates (expand + two-phase agg in Spark)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        r(F.sum_distinct(F.col("l_quantity"))).alias("sum_distinct_qty"),
+    )
+
+
+@query("agg_approx_distinct")  # approx sketch — can never hash-match: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HyperLogLog++ approximate count-distinct. Deterministic
+    for fixed input but not SQL-equal to exact COUNT(DISTINCT);
+    tolerance asserted in tests/test_operators.py."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT
+  l_linestatus,
+  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+  ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+  ROUND(STDDEV_POP(l_quantity), 4) AS stdp_qty,
+  ROUND(VAR_POP(l_quantity), 4) AS varp_qty,
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+  ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covarp_qty_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: statistical aggregates. Spark stddev/variance are the
+    SAMPLE variants (match DuckDB *_samp). skewness/kurtosis use
+    population formulas in Spark but sample-corrected in DuckDB, so
+    they live in the rows-only `agg_stats_higher` query."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_linestatus").agg(
+        r(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        r(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        r(F.stddev_pop("l_quantity"), 4).alias("stdp_qty"),
+        r(F.var_pop("l_quantity"), 4).alias("varp_qty"),
+        r(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        r(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        r(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covarp_qty_price"),
+    )
+
+
+@query("agg_stats_higher")  # Spark population skew/kurt ≠ DuckDB sample-adjusted
+def agg_stats_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b: skewness/kurtosis (population formulas, Spark semantics)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_linestatus").agg(
+        r(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        r(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price,
+  ROUND(MEDIAN(l_extendedprice), 4) AS median_price,
+  ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75_price,
+  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` both use linear interpolation."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        r(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        r(F.median("l_extendedprice"), 4).alias("median_price"),
+        r(F.percentile("l_extendedprice", 0.75), 4).alias("p75_price"),
+        r(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+    )
+
+
+@query("agg_percentile_approx")  # sketch-based — rows-only
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6b: approx percentile (Greenwald-Khanna sketch) — the
+    at-scale variant; accuracy asserted vs exact in tests."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median")
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+SELECT
+  c_mktsegment,
+  LIST_SORT(LIST(DISTINCT c_nationkey)) AS nations,
+  CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_set, order-normalized with array_sort so the
+    value-hash is deterministic (collect order is partition-order
+    dependent by design)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: CUBE with grouping_id — one Expand + single agg pass."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return (
+        lf.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            r(F.sum("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b: ROLLUP hierarchy totals."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.rollup("l_returnflag", "l_linestatus").agg(
+        r(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING ROUND(SUM(o_totalprice), 2) > 400000
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: post-aggregation filter (HAVING). The threshold applies
+    to the ROUNDED sum on both sides so engine float-sum-order
+    differences can't flip membership at the boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            r(F.sum("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total_spend") > 400000)
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT
+  user_id,
+  ROUND(SUM(value) FILTER (event_type = 'click'), 2) AS click,
+  ROUND(SUM(value) FILTER (event_type = 'error'), 2) AS error,
+  ROUND(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+  ROUND(SUM(value) FILTER (event_type = 'signup'), 2) AS signup,
+  ROUND(SUM(value) FILTER (event_type = 'view'), 2) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: pivot event_type → columns. Explicit value list avoids
+    the extra distinct-values job — mandatory at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.sum("value"))
+    return piv.select("user_id", *[r(F.col(k)).alias(k) for k in kinds])
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(SUM(CASE WHEN l_discount > 0.05
+                 THEN l_extendedprice ELSE 0 END), 2) AS high_disc_price,
+  CAST(COUNT(*) FILTER (l_quantity >= 25) AS BIGINT) AS n_bulk,
+  ROUND(AVG(l_extendedprice) FILTER (l_tax = 0), 4) AS avg_price_notax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: filtered/conditional aggregates — one pass, no self-join."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        r(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    0.0
+                )
+            )
+        ).alias("high_disc_price"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        r(F.avg(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 4).alias(
+            "avg_price_notax"
+        ),
+    )

@@ -1,0 +1,106 @@
+"""Scans / sources / sinks (SURVEY.md §2.1, S1-S5).
+
+Parquet is the primary source: Catalyst pushes predicates into the
+scan (row-group skipping) and prunes columns (ReadSchema), which is
+what makes S5's plan the one we'd want at 100 TB. CSV/JSON sources
+use explicit schemas — no inference at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from infofarmsparkml_spark.operators._util import load_table, scratch_dir, ts_lit
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: plain parquet scan of the fact table."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT * FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV source with explicit schema (round-trips nation
+    through CSV — lossless: int + string columns only)."""
+    out = scratch_dir("nation_csv", sf_dir)
+    load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").csv(
+        out, header=True
+    )
+    return spark.read.schema(NATION_SCHEMA).csv(out, header=True)
+
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_json_lines",
+    oracle="SELECT * FROM region",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JSON-lines source with explicit schema (region round-trip)."""
+    out = scratch_dir("region_json", sf_dir)
+    load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").json(out)
+    return spark.read.schema(REGION_SCHEMA).json(out)
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: partitioned parquet sink + re-read. Partitioning by a
+    low-cardinality column is the at-scale layout choice: readers
+    of one flag touch 1/3 of the files (partition pruning)."""
+    out = scratch_dir("lineitem_by_flag", sf_dir)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    reread = spark.read.parquet(out)
+    return reread.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "scan_projected",
+    oracle="""
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+""",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: pruned + pushed-down scan — the plan must show
+    ReadSchema with only 3 columns and PushedFilters on l_shipdate
+    (asserted in tests/test_plans.py)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < ts_lit("1996-01-01"))
+        .select("l_orderkey", "l_extendedprice")
+    )

@@ -1,0 +1,111 @@
+"""Spark ↔ DuckDB parity harness — a local mirror of the driver's
+correctness gate (row-count + schema + order-insensitive value
+comparison, columns sorted by name).
+
+Strictness: cells are compared by canonical string with FULL float
+precision. Operators are expected to round computed doubles on both
+sides (see registry docstring); if a query fails here it would fail
+the driver's hash, so the fix is in the query design, not in
+loosening this comparison.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+import duckdb
+
+from infofarmsparkml_spark.catalog import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views registered exactly like the driver's oracle harness."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon_cell(v: Any) -> str:
+    """Canonical string for one cell, identical across engines."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"  # pandas represents SQL NULL doubles as NaN
+        if f == 0.0:
+            f = 0.0  # normalize -0.0
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.floor("us").isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted((str(k), canon_cell(x)) for k, x in v.items())
+        return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
+    return repr(v)
+
+
+def canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
+    """(sorted column names, sorted canonical row tuples)."""
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(canon_cell(row[c]) for c in cols)
+        for row in pdf.to_dict(orient="records")
+    ]
+    rows.sort()
+    return cols, rows
+
+
+def compare_frames(spark_pdf, oracle_pdf, max_report: int = 5) -> tuple[bool, str]:
+    scols, srows = canon_frame(spark_pdf)
+    ocols, orows = canon_frame(oracle_pdf)
+    if scols != ocols:
+        return False, f"schema mismatch: spark={scols} oracle={ocols}"
+    if len(srows) != len(orows):
+        return False, f"row count mismatch: spark={len(srows)} oracle={len(orows)}"
+    if srows != orows:
+        diffs = [
+            f"  spark={s}\n  oracle={o}"
+            for s, o in zip(srows, orows)
+            if s != o
+        ][:max_report]
+        return False, "value mismatch (first diffs):\n" + "\n".join(diffs)
+    return True, f"ok ({len(srows)} rows, {len(scols)} cols)"
+
+
+def check_query(
+    spark, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
+) -> tuple[bool, str]:
+    """Run one registered query against its oracle."""
+    from infofarmsparkml_spark import registry
+
+    fn, oracle = registry.get(name)
+    sdf = fn(spark, sf_dir)
+    spdf = sdf.toPandas()
+    if oracle is None:
+        return True, f"rows-only ({len(spdf)} rows)"
+    opdf = con.execute(oracle).fetchdf()
+    return compare_frames(spdf, opdf)
