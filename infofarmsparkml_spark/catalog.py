@@ -48,9 +48,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer `div`, NOT `/`: double division loses precision for
+    # ns-since-epoch values (~1.7e18 > 2^53) and rounds instead of
+    # truncating, drifting ±1µs from DuckDB's CAST.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,5 +7,10 @@ explicit so a broken module fails loudly at registration time.
 
 from infofarmsparkml_spark.operators import (  # noqa: F401
     aggregates,
+    filters,
+    joins,
     scans,
+    setops,
+    sorts,
+    windows,
 )

@@ -1,0 +1,340 @@
+"""Joins (SURVEY.md §2.3, J1-J11).
+
+Scale posture: dimension tables (region/nation/supplier, derived
+calendars) are explicitly broadcast — no shuffle of the fact table
+for those joins at any scale. Large-large joins (lineitem⋈orders)
+go sort-merge with AQE handling skew. As-of joins use the
+distributed window-pick pattern (partition by entity key), not a
+driver-side merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table, net_price, r
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi inner join — Catalyst picks broadcast-hash here
+    (customer is far under the threshold); at larger dims AQE
+    re-plans from runtime sizes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: star join with explicitly broadcast dims — the fact
+    table is scanned exactly once with zero shuffles before the
+    final 2-key aggregation."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        lf.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            r(F.sum(net_price())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+""",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: large-large join forced to sort-merge via hint — the
+    strategy that scales when neither side broadcasts; both sides
+    shuffle-partition on the join key once."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        lf.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            r(F.sum("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_outer_left",
+    oracle="""
+SELECT c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c_custkey = o.o_custkey
+""",
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a: left outer — unmatched customers null-extended."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_outer_right",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c.c_custkey, c.c_name
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+RIGHT JOIN orders ON c.c_custkey = o_custkey
+""",
+)
+def join_outer_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b: right outer — unmatched orders null-extended."""
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = load_table(spark, sf_dir, "orders")
+    return rich.join(orders, rich.c_custkey == orders.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c.c_custkey = o.o_custkey
+""",
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c: full outer — unmatched rows on BOTH sides survive."""
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left semi (EXISTS) — emits each left row at most once,
+    shuffles only the join key of the right side."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left anti (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pend = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pend, cust.c_custkey == pend.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+FROM customer JOIN supplier
+  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: non-equi band join → BroadcastNestedLoop with the small
+    side broadcast. At scale you'd bucketize acctbal and equi-join
+    on bucket first (see join_range_interval for that pattern)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 100) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 100
+    )
+    return cust.join(supp, cond, "inner").select(
+        "c_custkey", "s_suppkey", "c_acctbal", "s_acctbal"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, s_name FROM region CROSS JOIN supplier",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: cartesian product of two small dims."""
+    reg = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    return reg.crossJoin(supp).select("r_name", "s_name")
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS month_start FROM orders
+)
+SELECT month_start, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM months JOIN lineitem
+  ON l_shipdate >= month_start
+ AND l_shipdate < month_start + INTERVAL 1 MONTH
+GROUP BY month_start
+""",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: interval join fact-to-calendar. The derived calendar dim
+    is tiny at any scale → broadcast nested-loop stays cheap; the
+    fact side never shuffles before aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    lf = load_table(spark, sf_dir, "lineitem")
+    months = F.broadcast(
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+        ).distinct()
+    )
+    cond = (F.col("l_shipdate") >= F.col("month_start")) & (
+        F.col("l_shipdate") < F.col("month_start") + F.expr("INTERVAL '1' MONTH")
+    )
+    return (
+        months.join(lf, cond, "inner")
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+              c.event_id AS click_id,    c.ts AS click_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+     )
+SELECT purchase_id, purchase_ts, click_id, click_ts FROM j WHERE rn = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: as-of join — for each purchase, the latest click by the
+    same user at-or-before it. Spark has no native asof; the
+    distributed pattern is range-join + window pick-latest,
+    partitioned by the entity key (user/purchase), which scales
+    as long as per-entity history fits a partition — skewed users
+    are split by AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "purchase_ts", "click_id", "click_ts")
+    )
+
+
+@query(
+    "join_multikey_selfjoin",
+    oracle="""
+SELECT a.l_orderkey AS okey,
+       a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       a.l_partkey AS part_a, b.l_partkey AS part_b
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+""",
+)
+def join_multikey_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: self-join for within-order line pairs — equi key plus
+    inequality to emit each unordered pair once. Co-partitioned on
+    l_orderkey, so one shuffle serves both sides."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    a = lf.alias("a")
+    b = lf.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("okey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
