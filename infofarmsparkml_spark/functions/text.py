@@ -1,0 +1,92 @@
+"""F1 string functions + F8 hash functions (SURVEY.md §2.8).
+
+All JVM-side built-ins (whole-stage codegen) — never Python UDFs
+for string work on the hot path. Oracle notes: DuckDB's
+regexp_replace is first-match-only without the 'g' flag; length()
+returns BIGINT (cast to match Spark's INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT
+  p_partkey,
+  lower(p_name) AS name_lower,
+  upper(p_type) AS type_upper,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  substring(p_name, 1, 5) AS name_5,
+  concat_ws('-', p_brand, p_type) AS brand_type,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+  replace(p_name, ' ', '_') AS name_us,
+  regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+  regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_mask,
+  CAST(levenshtein(p_brand, 'Brand#10') AS INTEGER) AS lev_brand,
+  CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+  trim(concat(' ', p_name, ' ')) AS trimmed,
+  reverse(p_type) AS type_rev
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: string pack — case, length, substring, concat, pad,
+    replace, regex extract/replace, edit distance, find, trim."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("type_mask"),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("lev_brand"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.reverse("p_type").alias("type_rev"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8a: cryptographic digests (dedup keys) — identical lowercase
+    hex in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+@query("fn_hash_spark")  # Spark-proprietary hashes: no DuckDB equivalent
+def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8b: Spark-native hashes — xxhash64 (the cheap shuffle/dedup
+    key at scale), crc32, Murmur3 `hash`. Deterministic per Spark
+    version; value-checked in unit tests, rows-only for the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur3"),
+    )

@@ -226,7 +226,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_interval",
     oracle="""
 WITH months AS (
-  SELECT DISTINCT date_trunc('month', o_orderdate) AS month_start FROM orders
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+    AS month_start FROM orders
 )
 SELECT month_start, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM months JOIN lineitem

@@ -50,6 +50,7 @@ def _load_all_operator_modules() -> None:
     """Import every operator module so decorators run (idempotent)."""
     # Imported lazily to avoid import cycles with operator modules
     # that import `query` from here.
+    import infofarmsparkml_spark.functions  # noqa: F401
     import infofarmsparkml_spark.operators  # noqa: F401
 
 
