@@ -9,8 +9,12 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    llm,
+    ml,
+    multimodal,
     scans,
     setops,
     sorts,
+    udfs,
     windows,
 )

@@ -1,0 +1,564 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.11 L1-L8 + the
+driver-mandated text-analysis extensions) — the operations a
+100 TB training-data pipeline needs: dedup (exact, MinHash-LSH,
+duplicate-cluster resolution), similarity search (exact top-k +
+LSH kNN), text analysis (language-ID, token counting, quality
+scoring, fingerprinting) and multimodal record assembly.
+
+Scale notes are per-operator; the common theme: the only all-pairs
+computation (exact cosine) keeps the small side broadcast, LSH
+variants replace O(n²) with bucket joins, and the iterative
+connected-components loop checkpoints to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+SELECT sha256(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash — one hash-groupBy; the
+    keeper is deterministic (min doc_id). At 100 TB this is the
+    cheapest dedup pass and always runs before any near-dup stage
+    (xxhash64 would be the cheaper shuffle key; sha256 here for a
+    portable oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query("llm_minhash_lsh_dedup")  # LSH bucketing is seed/impl-specific: rows-only
+def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: near-dup pairs via MinHashLSH over binarized token
+    vectors (Jaccard distance ≤ 0.5). The LSH bucket join replaces
+    the O(n²) pair space with candidate buckets — the standard
+    shape for corpus-scale near-dedup. Seeded; pair quality asserted
+    in unit tests against exact n-gram Jaccard."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=r"\s+"
+    ).transform(docs)
+    cv = CountVectorizer(inputCol="toks", outputCol="tf", binary=True, minDF=1.0)
+    vecs = cv.fit(toks).transform(toks).select("doc_id", "tf")
+    lsh = MinHashLSH(inputCol="tf", outputCol="mh", numHashTables=5, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def _signature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup candidate edges: documents sharing a
+    3-token prefix OR 3-token suffix signature. Signature blocking
+    is how near-dup graphs stay linear-ish at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sigs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 3), " ").alias("pre"),
+        F.array_join(F.slice(toks, -3, 3), " ").alias("suf"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    by_pre = a.join(b, F.col("a.pre") == F.col("b.pre")).select(
+        F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+    )
+    by_suf = a.join(b, F.col("a.suf") == F.col("b.suf")).select(
+        F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+    )
+    return (
+        by_pre.union(by_suf).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+@query(
+    "llm_dedup_components",
+    oracle="""
+WITH RECURSIVE
+sigs AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS pre,
+         array_to_string(string_split(text, ' ')[-3:], ' ') AS suf
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sigs a JOIN sigs b ON a.pre = b.pre AND a.doc_id <> b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM sigs a JOIN sigs b ON a.suf = b.suf AND a.doc_id <> b.doc_id
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src
+""",
+)
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: duplicate-cluster resolution — connected components over
+    the near-dup candidate graph by iterative min-label propagation
+    (pure DataFrame ops, no GraphX). Converges in graph-diameter
+    rounds; each round is one join + agg, with localCheckpoint
+    truncating lineage so 100-TB-scale iteration doesn't replay the
+    whole DAG. Oracle: transitive closure via recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _signature_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("component")
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def _double_vecs(spark: SparkSession, sf_dir: str, id_alias: str, vec_alias: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").cast("array<double>").alias(vec_alias),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+sims AS (
+  SELECT qid, cid,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos
+  FROM q, c WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM sims
+)
+SELECT qid, cid, ROUND(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+""",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact top-k cosine similarity search (PAPERS.md top-k
+    similarity theme). The QUERY set is broadcast (small by
+    construction); the corpus streams through one scan computing
+    dot products JVM-side via zip_with/aggregate — no Python, no
+    corpus shuffle until the per-query top-k window over qid.
+    Both engines fold the 64 products in index order → doubles are
+    bit-identical, so ranking agrees; ties broken by cid."""
+    q = _double_vecs(spark, sf_dir, "qid", "qv").filter(F.col("qid") < 5)
+    c = _double_vecs(spark, sf_dir, "cid", "cv")
+    sims = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cid", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@query("llm_knn_join")  # LSH bucketing is seed/impl-specific: rows-only
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: approximate kNN join via BucketedRandomProjectionLSH
+    (euclidean) — the scale path for all-pairs similarity: hash to
+    buckets, join within buckets only. Recall vs exact asserted in
+    unit tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=42,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="euclidean")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("euclidean", 4).alias("euclidean"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       CAST(length(text) AS INTEGER) AS text_len,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+         AS n_unique,
+       ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS ttr,
+       length(text) = n_chars AS chars_match
+FROM documents
+""",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: per-doc text statistics — length, token counts,
+    type-token ratio, metadata consistency flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+        (F.length("text") == F.col("n_chars")).alias("chars_match"),
+    )
+
+
+@query(
+    "llm_multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.source,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       ROUND(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[]))), 6)
+         AS emb_norm,
+       e.label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.lang IN ('en', 'de', 'fr')
+  AND len(string_split(d.text, ' ')) >= 10
+""",
+)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: multimodal record assembly — text + embedding + metadata
+    in one row, quality-filtered. doc_id/vec_id are co-numbered, so
+    at scale both sides bucket on the id and the join is
+    shuffle-free; here it's a plain equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _double_vecs(spark, sf_dir, "vec_id", "ev").join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter(F.col("lang").isin("en", "de", "fr") & (F.size(toks) >= 10))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.round(F.sqrt(_dot(F.col("ev"), F.col("ev"))), 6).alias("emb_norm"),
+            "label",
+        )
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+WITH flagged AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         MIN(doc_id) OVER (PARTITION BY text) = doc_id AS is_canonical
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens
+FROM flagged
+WHERE is_canonical AND lang IN ('en', 'de', 'es', 'fr')
+  AND n_tokens BETWEEN 5 AND 200
+""",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: composed quality gate — canonical-copy flag (window min
+    over exact-dup group), language allowlist, token-length bounds.
+    The shape of a production pre-training filter chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.min("doc_id").over(W.partitionBy("text")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+    return flagged.filter(
+        F.col("is_canonical")
+        & F.col("lang").isin("en", "de", "es", "fr")
+        & F.col("n_tokens").between(5, 200)
+    ).select("doc_id", "lang", "n_tokens")
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+counts AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token),
+prof AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token) AS rn
+    FROM counts) WHERE rn <= 5
+),
+scores AS (
+  SELECT t.doc_id, p.lang AS cand, COUNT(*) AS score
+  FROM tok t JOIN prof p ON t.token = p.token
+  GROUP BY t.doc_id, p.lang
+),
+best AS (
+  SELECT doc_id, cand,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scores
+)
+SELECT d.doc_id, d.lang AS true_lang,
+       COALESCE(b.cand, 'unknown') AS pred_lang
+FROM documents d
+LEFT JOIN (SELECT doc_id, cand FROM best WHERE rn = 1) b
+  ON d.doc_id = b.doc_id
+""",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by n-gram-profile heuristic: build top-5 token
+    profiles per language from the corpus, score each doc by
+    profile-token occurrences, argmax with deterministic ties. The
+    profile is a broadcast dim; scoring is one pass over exploded
+    tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    prof = (
+        counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("plang"), "token")
+    )
+    scores = (
+        tok.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", F.col("plang").alias("cand"))
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    wb = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cand")
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            F.coalesce(F.col("cand"), F.lit("unknown")).alias("pred_lang"),
+        )
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+         AS n_bpe_ish,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_estimate
+FROM documents
+""",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    word/number pieces, and the chars/4 heuristic LLM pipelines use
+    for budget estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
+            "n_bpe_ish"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("n_tok_estimate"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+WITH poly AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS poly_fp
+  FROM documents
+),
+pw AS (
+  SELECT doc_id, CAST(SUM(pos * length(tok)) AS BIGINT) AS pos_fp
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  GROUP BY doc_id
+)
+SELECT poly.doc_id, poly_fp, pos_fp
+FROM poly JOIN pw USING (doc_id)
+""",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-sensitive rolling polynomial
+    hash over token lengths (JVM-side aggregate fold) plus a
+    position-weighted checksum — cheap shingle-free signatures for
+    shard-local near-dup pre-screening."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    poly = docs.select(
+        "doc_id",
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * 31 + F.length(t).cast("long")) % 1000000007,
+        ).alias("poly_fp"),
+    )
+    pw = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("pos") + 1) * F.length("tok")).cast("long").alias("pos_fp")
+        )
+    )
+    return poly.join(pw, "doc_id")
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text,' ')) - 1)])
+           AS g3
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.g3, b.g3))) AS jac
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE a.doc_id < 40 AND b.doc_id < 40
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM pairs WHERE jac >= 0.2
+""",
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard similarity on a bounded id block
+    (ids < 40 — the oracle-checkable window; production runs this
+    per LSH bucket, never all-pairs). Shingle sets built JVM-side
+    with transform/slice."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ).alias("g3"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (
+            F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3"))).cast("double")
+            / F.size(F.array_distinct(F.array_union(F.col("a.g3"), F.col("b.g3"))))
+        ).alias("jac"),
+    )
+    return pairs.filter(F.col("jac") >= 0.2).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    )

@@ -1,0 +1,296 @@
+"""ML layer (SURVEY.md §2.11, M1-M10) — the reference's own domain
+(Spark-MLlib-era pipelines) rebuilt on DataFrame-based ``pyspark.ml``.
+
+Reference provenance: /root/reference is EMPTY (SURVEY.md §0); this
+surface reconstructs the era-typical MLlib demo repo — tokenize /
+TF-IDF / sentiment-style text scoring / classification / clustering
+/ ALS recommendation / evaluation — per BASELINE.json's "MLlib
+pipelines directly". All estimators are seeded (seed=42) and
+metrics-tested rather than row-compared where training is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+def _tokens_and_tf(spark: SparkSession, sf_dir: str):
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=r"\s+", toLowercase=True
+    )
+    toks = tok.transform(docs)
+    cv = CountVectorizer(inputCol="toks", outputCol="tf", minDF=1.0)
+    model = cv.fit(toks)
+    return model.transform(toks)
+
+
+@query(
+    "ml_tokenize_tf",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+         AS n_distinct_terms
+FROM documents
+""",
+)
+def ml_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: RegexTokenizer + CountVectorizer term frequencies. The
+    TF vector's nnz equals the distinct-token count (minDF=1, no
+    vocab cap), which gives the SQL-checkable projection."""
+    from pyspark.ml.functions import vector_to_array
+
+    tf = _tokens_and_tf(spark, sf_dir)
+    arr = vector_to_array(F.col("tf"))
+    return tf.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_distinct_terms"),
+    )
+
+
+@query("ml_tfidf")  # IDF weights are corpus-fit model state: rows-only
+def ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: TF-IDF pipeline (tokenize → CountVectorizer → IDF);
+    emits per-doc L2 norm + nnz of the weighted vector. Known-answer
+    unit test covers the IDF formula log((m+1)/(df+1))."""
+    from pyspark.ml.feature import IDF
+    from pyspark.ml.functions import vector_to_array
+
+    tf = _tokens_and_tf(spark, sf_dir)
+    idf = IDF(inputCol="tf", outputCol="tfidf")
+    out = idf.fit(tf).transform(tf)
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("tfidf_nnz"),
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("tfidf_l2"),
+    )
+
+
+@query("ml_ngram_stopwords")  # Spark's builtin english stopword list: rows-only
+def ml_ngram_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: StopWordsRemover (default English list) + bigram NGram."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+"),
+            StopWordsRemover(inputCol="toks", outputCol="content_toks"),
+            NGram(n=2, inputCol="content_toks", outputCol="bigrams"),
+        ]
+    )
+    out = pipe.fit(docs).transform(docs)
+    return out.select(
+        "doc_id",
+        F.size("content_toks").alias("n_content_tokens"),
+        F.size("bigrams").alias("n_bigrams"),
+        F.element_at(F.col("bigrams"), 1).alias("first_bigram"),
+    )
+
+
+@query(
+    "ml_word_count",
+    oracle="""
+SELECT lang, token, COUNT(*) AS cnt
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY lang, token
+""",
+)
+def ml_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: classic word count per language — explode + two-key agg
+    (map-side partial keeps the shuffle at vocab×langs rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SENTIMENT_LEXICON = [
+    ("fast", 1),
+    ("slow", -1),
+    ("big", 1),
+    ("small", -1),
+    ("dup", -2),
+    ("spark", 2),
+]
+
+
+@query(
+    "ml_sentiment_lexicon",
+    oracle="""
+WITH lex(word, score) AS (VALUES
+  ('fast', 1), ('slow', -1), ('big', 1), ('small', -1),
+  ('dup', -2), ('spark', 2)),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+SELECT t.doc_id,
+       CAST(COALESCE(SUM(l.score), 0) AS BIGINT) AS sentiment,
+       CAST(COUNT(l.word) AS BIGINT) AS n_scored
+FROM tok t LEFT JOIN lex l ON t.token = l.word
+GROUP BY t.doc_id
+""",
+)
+def ml_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: lexicon-based sentiment (the reference-domain Twitter-
+    sentiment pattern, PAPERS.md:5) — tokens broadcast-joined
+    against a tiny lexicon, summed per doc. At 100 TB the lexicon
+    side is always broadcast; the token explosion never shuffles
+    until the per-doc re-aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(SENTIMENT_LEXICON, ["word", "score"])
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.join(lex, tok.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("sentiment"),
+            F.count("word").alias("n_scored"),
+        )
+    )
+
+
+def _embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+@query("ml_classify_lr")  # iterative training: rows-only + metric tests
+def ml_classify_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: multinomial logistic regression embeddings→label
+    (DataFrame-native successor of MLlib LogisticRegressionWithLBFGS)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    data = _embedding_features(spark, sf_dir)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    )
+    model = lr.fit(data)
+    return model.transform(data).select(
+        "vec_id", "label", F.col("prediction").cast("int").alias("predicted")
+    )
+
+
+@query("ml_cluster_kmeans")  # seeded but engine-specific: rows-only
+def ml_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: k-means over embeddings (k=5, seed=42)."""
+    from pyspark.ml.clustering import KMeans
+
+    data = _embedding_features(spark, sf_dir)
+    km = KMeans(featuresCol="features", k=5, seed=42, maxIter=20)
+    return (
+        km.fit(data)
+        .transform(data)
+        .select("vec_id", F.col("prediction").alias("cluster"))
+    )
+
+
+@query("ml_recommend_als")  # seeded iterative factorization: rows-only
+def ml_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: ALS collaborative filtering on (user, item, rating)
+    triples derived from events (item = props.k, rating = value);
+    emits top-3 recommendations per user."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        F.col("user_id").cast("int").alias("user"),
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.col("value").cast("float").alias("rating"),
+    ).where(F.col("item").isNotNull())
+    als = ALS(
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        rank=8,
+        maxIter=8,
+        seed=42,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        F.col("user").alias("user_id"),
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        "user_id",
+        F.col("rec.item").alias("item"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )
+
+
+@query("ml_eval")  # model metrics: rows-only + threshold unit tests
+def ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: evaluation metrics — LR accuracy/F1 and k-means
+    silhouette in one summary row."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import (
+        ClusteringEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    data = _embedding_features(spark, sf_dir).cache()
+    lr_pred = (
+        LogisticRegression(
+            featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+        )
+        .fit(data)
+        .transform(data)
+    )
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="accuracy"
+    ).evaluate(lr_pred)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol="label", metricName="f1"
+    ).evaluate(lr_pred)
+    km_pred = KMeans(featuresCol="features", k=5, seed=42).fit(data).transform(data)
+    sil = ClusteringEvaluator(featuresCol="features").evaluate(km_pred)
+    data.unpersist()
+    return spark.createDataFrame(
+        [(round(acc, 4), round(f1, 4), round(sil, 4))],
+        ["lr_accuracy", "lr_f1", "kmeans_silhouette"],
+    )
+
+
+@query("ml_scaler_pca")  # eigenvector sign is solver-defined: rows-only
+def ml_scaler_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: StandardScaler (with mean/std) → PCA to 8 components;
+    emits the projected-vector L2 norm (sign-invariant)."""
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import vector_to_array
+
+    data = _embedding_features(spark, sf_dir)
+    scaler = StandardScaler(
+        inputCol="features", outputCol="scaled", withMean=True, withStd=True
+    )
+    scaled = scaler.fit(data).transform(data)
+    pca = PCA(k=8, inputCol="scaled", outputCol="pc")
+    out = pca.fit(scaled).transform(scaled)
+    arr = vector_to_array(F.col("pc"))
+    return out.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("pc_norm"),
+    )

@@ -1,0 +1,185 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10, D1-D5).
+
+The hierarchy that matters at 100 TB:
+  built-in expr  >>  Arrow-vectorized pandas UDF  >>  row Python UDF.
+Pandas UDFs move columnar Arrow batches across the JVM↔Python
+boundary (one serde per batch); row UDFs pay pickle serde per ROW —
+D5 exists only as the documented anti-pattern and is perf-compared
+to D1 in the benchmark suite.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+def _net_price_arrow():
+    # constructed lazily: pandas_udf registration needs a live session
+    @F.pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        # same IEEE-754 elementwise ops as the SQL expression → exact
+        return price * (1.0 - disc)
+
+    return net_price
+
+
+@query(
+    "udf_scalar_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+""",
+)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: scalar pandas UDF (Arrow batches) — bit-identical to the
+    built-in expression; used when logic genuinely needs Python
+    (e.g. a third-party scoring lib)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price_arrow()(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "net_price"
+        ),
+    )
+
+
+def _weighted_mean():
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    return wmean
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: grouped-agg pandas UDF — quantity-weighted mean price.
+    Rounded on both sides: pandas uses pairwise summation, SQL
+    engines sequential, so raw sums differ in the last ulps."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return (
+        lf.groupBy("l_returnflag")
+        .agg(
+            _weighted_mean()(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+                "wavg"
+            )
+        )
+        .select("l_returnflag", F.round("wavg", 6).alias("wavg_price"))
+    )
+
+
+_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("price_z", T.DoubleType()),
+    ]
+)
+
+
+def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # per-group z-score; ddof=1 matches STDDEV_SAMP
+    mu = pdf["l_extendedprice"].mean()
+    sd = pdf["l_extendedprice"].std(ddof=1)
+    out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+    out["price_z"] = ((pdf["l_extendedprice"] - mu) / sd).round(6)
+    return out
+
+
+@query(
+    "udtf_grouped_map",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+             / STDDEV_SAMP(l_extendedprice) OVER w, 6) AS price_z
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+""",
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: grouped-map applyInPandas — per-group normalization
+    (the SNIPPETS-retrieved pattern, SNIPPETS.md:73-86). One
+    shuffle on the group key; each group must fit one worker's
+    memory — at 100 TB that means normalizing within bounded keys
+    (here: 3 return flags is actually the WORST case; a real
+    pipeline would key by (flag, month) — the window-function twin
+    in the oracle is the preferred formulation at scale)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return (
+        lf.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(_normalize_group, schema=_NORM_SCHEMA)
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: Python UDTF (table function) — tokenizer emitting one
+    row per token via LATERAL join; generator twin of explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for tok in text.split(" "):
+                    yield (tok,)
+
+    spark.udtf.register("ifsml_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "ifsml_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token
+        FROM ifsml_udtf_docs d, LATERAL ifsml_tokenize(d.text) t
+        """
+    )
+
+
+@query(
+    "udf_plain",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""",
+)
+def udf_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: row-at-a-time Python UDF — ANTI-PATTERN (per-row pickle
+    serde, no codegen, no vectorization); registered only so the
+    benchmark can quantify the gap vs D1/built-ins."""
+
+    @F.udf(T.DoubleType())
+    def charge(price, disc, tax):
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
