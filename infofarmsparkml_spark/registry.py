@@ -52,6 +52,7 @@ def _load_all_operator_modules() -> None:
     # that import `query` from here.
     import infofarmsparkml_spark.functions  # noqa: F401
     import infofarmsparkml_spark.operators  # noqa: F401
+    import infofarmsparkml_spark.streaming  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,350 @@
+"""Structured Streaming operators (SURVEY.md §2.9, T1-T7).
+
+Every ``queries()`` entry here runs a REAL streaming query —
+``readStream`` over the events parquet, ``availableNow`` trigger,
+memory sink — then returns the sink table. Aggregations use
+``complete`` output mode (deterministic full result without needing
+a watermark-advancing second batch); stateless ops use ``append``.
+Where streaming semantics equal a batch computation (windowed aggs,
+dedup of unique keys, stream-static join) the query also carries a
+DuckDB oracle, so the driver's hash gate covers genuine streaming
+execution. Watermark late-drop (T4) and custom state (T6) have no
+batch-SQL equivalent → rows-only + dedicated unit tests.
+
+At production scale the same plans run unchanged against Kafka with
+processing-time triggers; the state store (window/session/dedup
+state) lives on executors keyed by the group keys, so scaling is
+governed by key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from infofarmsparkml_spark.registry import query
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns-as-long (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture: ns-long ts → µs
+    TimestampType, same truncation as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink
+    and return the sink table."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour window counts/sums per event type —
+    epoch-aligned windows, so window.start == date_trunc('hour')."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out = run_to_memory(
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        ),
+        "ifsml_stream_tumbling",
+        "complete",
+    )
+    return out
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP))
+           AS es
+  FROM events
+),
+w AS (
+  SELECT event_type, value,
+         TIMESTAMP '1970-01-01'
+           + ((es // 900) * 900 - o * 900) * INTERVAL 1 SECOND AS window_start
+  FROM e, (SELECT unnest(range(0, 4)) AS o)
+)
+SELECT window_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding window (1 h length, 15 min slide) — each event
+    lands in 4 overlapping windows; the oracle materializes the
+    same 4 windows per event with integer epoch arithmetic."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return run_to_memory(
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        ),
+        "ifsml_stream_sliding",
+        "complete",
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value, event_id FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(tsu) OVER w IS NULL
+                OR tsu - LAG(tsu) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       MIN(tsu) AS session_start,
+       MAX(tsu) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: session windows with a 30-minute gap per user —
+    session_window merges events until a gap exceeds 30 min;
+    session end = last event + gap. Oracle is the classic
+    gaps-and-islands rewrite."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return run_to_memory(
+        agg.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        ),
+        "ifsml_stream_session",
+        "complete",
+    )
+
+
+@query("stream_watermark_late")  # drop semantics have no batch-SQL twin
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermark + late-data drop, exercised with a real
+    two-batch file stream: batch 1 advances the watermark past the
+    early window; batch 2 mixes on-time rows with rows 2 days late
+    — the late rows must NOT appear in the append-mode output.
+    Deterministic row set; dropped/kept counts asserted in
+    tests/test_streaming.py."""
+    import os
+
+    from infofarmsparkml_spark.catalog import load_table
+    from infofarmsparkml_spark.operators._util import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+    src = scratch_dir("wm_late_src", sf_dir)
+    sink_name = "ifsml_stream_wm_late"
+    early = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    on_time = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    late = on_time.withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 21 DAYS")
+    ).withColumn("event_id", F.col("event_id") + 1_000_000)
+    # two deterministic micro-batches on disk
+    early.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    on_time.unionByName(late).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b2")
+    )
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: stateful streaming dedup — the input is the event stream
+    UNIONed with itself (every row duplicated);
+    dropDuplicatesWithinWatermark(event_id) must emit each event
+    exactly once, recovering the original stream."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    return run_to_memory(deduped, "ifsml_stream_dedup", "append")
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: arbitrary per-key state via applyInPandasWithState — a
+    running per-user accumulator (count, value sum, last-seen).
+    With one availableNow batch the emitted state equals the batch
+    aggregate, which gives the oracle; multi-batch state evolution
+    is exercised in tests/test_streaming.py."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_seen", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def track_user(key, pdfs, state: GroupState):
+        n, total, last_us = (
+            state.get if state.exists else (0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    tracked = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            track_user,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(tracked, "ifsml_stream_stateful", "update")
+
+
+@query(
+    "stream_join",
+    oracle="""
+SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+       c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: stream-static join — streaming events enriched with the
+    customer dim. The static side is effectively broadcast per
+    micro-batch; stateless, so append emits every joined row."""
+    from infofarmsparkml_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "c_name",
+        "c_mktsegment",
+    )
+    return run_to_memory(joined, "ifsml_stream_join", "append")
