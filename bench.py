@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collects to the driver). Per query: 1 warmup + 3 timed runs, median
+reported. value = sum of per-query medians (total headline wall
+seconds) — lower is better.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_groupby",          # flagship TPC-H Q1 shape
+    "agg_grouping_sets",
+    "scan_projected",
+    "join_broadcast",       # star join, broadcast dims
+    "join_sortmerge",       # large-large
+    "join_asof",
+    "win_topk_per_group",
+    "limit_topk",
+    "ml_word_count",
+    "llm_exact_dedup",
+    "llm_cosine_topk",
+    "udf_scalar_arrow",     # Arrow boundary
+    "fn_array",             # higher-order exprs
+]
+
+
+def bench_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    def run() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()  # warmup (plan + code cache)
+    return statistics.median(run() for _ in range(runs))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from infofarmsparkml_spark import registry
+    from infofarmsparkml_spark.session import get_spark
+
+    spark = get_spark(app_name="infofarmsparkml-bench")
+    qs = registry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(bench_query(qs[name], spark, sf_dir), 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -205,16 +205,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = on_time.withColumn(
         "ts", F.col("ts") - F.expr("INTERVAL 21 DAYS")
     ).withColumn("event_id", F.col("event_id") + 1_000_000)
-    # two deterministic micro-batches on disk
-    early.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
-    on_time.unionByName(late).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src, "b2")
-    )
-    stream = (
-        spark.readStream.schema(early.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src + "/b*")
-    )
+    # batch 1 on disk BEFORE the query starts; batch 2 is written
+    # between processAllAvailable() cycles so the watermark from
+    # batch 1 is active when the late rows arrive (a single
+    # availableNow pass would read both files in one batch with
+    # watermark still at epoch — nothing would be late).
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    early.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(early.schema).parquet(src + "/b*")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"))
@@ -225,10 +225,16 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(sink_name)
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.processAllAvailable()  # batch 1 → watermark = max(early) - 10 min
+        on_time.unionByName(late).coalesce(1).write.parquet(
+            os.path.join(src, "b2")
+        )
+        q.processAllAvailable()  # batch 2: late rows below watermark drop
+    finally:
+        q.stop()
     return spark.table(sink_name)
 
 

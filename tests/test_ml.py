@@ -1,0 +1,137 @@
+"""ML known-answer tests (SURVEY.md §5.5): tiny synthetic datasets
+with analytically known optima; metric thresholds, not row equality.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from infofarmsparkml_spark import registry
+
+
+def q(name):
+    fn, _ = registry.get(name)
+    return fn
+
+
+@pytest.fixture(scope="module")
+def ml(spark):
+    pytest.importorskip("pyspark.ml")
+    return spark
+
+
+def test_lr_separable(ml):
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    rows = [([float(i), float(i) + 1.0], 0) for i in range(20)] + [
+        ([float(i) + 10.0, float(i) + 12.0], 1) for i in range(20)
+    ]
+    df = ml.createDataFrame(rows, ["raw", "label"]).select(
+        array_to_vector("raw").alias("features"), "label"
+    )
+    model = LogisticRegression(maxIter=50).fit(df)
+    acc = (
+        model.transform(df)
+        .filter(F.col("prediction") == F.col("label"))
+        .count()
+    ) / df.count()
+    assert acc == 1.0
+
+
+def test_kmeans_three_blobs(ml):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    rows = [
+        ([cx + dx, cy + dy], i)
+        for i, (cx, cy) in enumerate(centers)
+        for dx in (-1.0, 0.0, 1.0)
+        for dy in (-1.0, 0.0, 1.0)
+    ]
+    df = ml.createDataFrame(rows, ["raw", "blob"]).select(
+        array_to_vector("raw").alias("features"), "blob"
+    )
+    pred = KMeans(k=3, seed=42).fit(df).transform(df)
+    # each blob maps to exactly one cluster and clusters don't merge
+    mapping = (
+        pred.groupBy("blob")
+        .agg(F.collect_set("prediction").alias("clusters"))
+        .collect()
+    )
+    clusters = [r["clusters"] for r in mapping]
+    assert all(len(c) == 1 for c in clusters)
+    assert len({c[0] for c in clusters}) == 3
+
+
+def test_idf_formula_known_answer(ml):
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    df = ml.createDataFrame(
+        [(0, ["a", "b"]), (1, ["a", "c"])], ["id", "toks"]
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="tf")
+    cvm = cv.fit(df)
+    tf = cvm.transform(df)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    vocab = cvm.vocabulary
+    idf = dict(zip(vocab, idf_model.idf.toArray()))
+    # Spark IDF = ln((m+1)/(df+1)); m=2 docs
+    assert math.isclose(idf["a"], math.log(3 / 3), abs_tol=1e-9)
+    assert math.isclose(idf["b"], math.log(3 / 2), abs_tol=1e-9)
+
+
+def test_als_rank1_structure(ml):
+    from pyspark.ml.recommendation import ALS
+
+    # rank-1 ratings: r(u, i) = u_pref * i_score
+    rows = [
+        (u, i, float((u + 1) * (i + 1)))
+        for u in range(8)
+        for i in range(8)
+        if (u + i) % 3 != 0  # holes to actually factorize
+    ]
+    df = ml.createDataFrame(rows, ["user", "item", "rating"])
+    model = ALS(
+        userCol="user", itemCol="item", ratingCol="rating",
+        rank=2, maxIter=10, seed=42, regParam=0.05,
+    ).fit(df)
+    preds = model.transform(df)
+    rmse = preds.select(
+        F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2)).alias("rmse")
+    ).collect()[0]["rmse"]
+    assert rmse < 2.0, rmse
+
+
+def test_ml_eval_metrics_in_range(spark, sf_dir):
+    row = q("ml_eval")(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["lr_accuracy"] <= 1.0
+    assert 0.0 <= row["lr_f1"] <= 1.0
+    assert -1.0 <= row["kmeans_silhouette"] <= 1.0
+    # embeddings are separable enough that LR beats majority class
+    assert row["lr_accuracy"] > 0.3
+
+
+def test_sentiment_lexicon_known_answer(spark):
+    from infofarmsparkml_spark.operators.ml import SENTIMENT_LEXICON
+
+    lex = dict(SENTIMENT_LEXICON)
+    assert lex["fast"] + lex["slow"] == 0
+    docs = spark.createDataFrame(
+        [(0, "fast fast slow"), (1, "nothing here")], ["doc_id", "text"]
+    )
+    lexdf = spark.createDataFrame(SENTIMENT_LEXICON, ["word", "score"])
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    scored = (
+        tok.join(lexdf, tok.token == lexdf.word, "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("score"), F.lit(0)).alias("s"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["s"] for r in scored}
+    assert got == {0: 1, 1: 0}

@@ -1,0 +1,131 @@
+"""Operator-semantics tests beyond the DuckDB oracle: tolerance
+checks for approximate ops, determinism of Spark-native hashes, and
+algebraic invariants (SURVEY.md §5.3-5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from infofarmsparkml_spark import registry
+from infofarmsparkml_spark.catalog import load_table
+
+
+def q(name):
+    fn, _ = registry.get(name)
+    return fn
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in q("agg_approx_distinct")(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in q("agg_distinct")(spark, sf_dir).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in q("agg_percentile_approx")(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["median_price"]
+        for r in q("agg_percentile")(spark, sf_dir).collect()
+    }
+    for flag, m in exact.items():
+        assert abs(approx[flag] - m) / m < 0.02, (flag, approx[flag], m)
+
+
+def test_sample_fraction_and_determinism(spark, sf_dir):
+    total = load_table(spark, sf_dir, "lineitem").count()
+    s1 = q("sample_tablesample")(spark, sf_dir)
+    s2 = q("sample_tablesample")(spark, sf_dir)
+    n1, n2 = s1.count(), s2.count()
+    assert n1 == n2, "seeded sample must be reproducible"
+    assert 0.05 * total < n1 < 0.15 * total
+
+
+def test_spark_hashes_deterministic(spark, sf_dir):
+    a = {r["doc_id"]: r["text_xxh64"] for r in q("fn_hash_spark")(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["text_xxh64"] for r in q("fn_hash_spark")(spark, sf_dir).collect()}
+    assert a == b and len(set(a.values())) == len(a), "xxhash64 stable + collision-free here"
+
+
+def test_union_all_count_additivity(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 300000)
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert a.count() + b.count() == q("set_union_all")(spark, sf_dir).count()
+
+
+def test_filter_partition_complete(spark, sf_dir):
+    lf = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_quantity") > 30
+    assert lf.filter(p).count() + lf.filter(~p).count() == lf.count()
+
+
+def test_semi_plus_anti_partition_left(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    urgent_holders = q("join_semi")(spark, sf_dir).count()
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    assert urgent_holders + anti == cust.count()
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = q("llm_exact_dedup")(spark, sf_dir)
+    assert groups.count() == docs.select("text").distinct().count()
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_cosine_topk_bounds_and_rank(spark, sf_dir):
+    rows = q("llm_cosine_topk")(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    for qid, pairs in by_q.items():
+        pairs.sort()
+        ranks = [p[0] for p in pairs]
+        assert ranks == list(range(1, len(ranks) + 1)), "ranks are 1..k"
+        cosines = [p[1] for p in pairs]
+        assert cosines == sorted(cosines, reverse=True), "descending by cosine"
+
+
+def test_minhash_pairs_are_plausible(spark, sf_dir):
+    rows = q("llm_minhash_lsh_dedup")(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard_dist"] <= 0.5
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_components_are_consistent(spark, sf_dir):
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in q("llm_dedup_components")(spark, sf_dir).collect()
+    }
+    # every component representative labels itself
+    for comp in set(labels.values()):
+        assert labels[comp] == comp, "component id must be its own root"
+
+
+def test_decode_stub_schema_and_determinism(spark, sf_dir):
+    out1 = q("mm_decode_stub")(spark, sf_dir)
+    assert out1.schema.simpleString() == (
+        "struct<doc_id:bigint,media_type:string,payload_bytes:int,"
+        "width:int,height:int,sample_rate:int,n_frames:int,decode_status:string>"
+    )
+    r1 = sorted(map(tuple, out1.collect()))
+    r2 = sorted(map(tuple, q("mm_decode_stub")(spark, sf_dir).collect()))
+    assert r1 == r2

@@ -1,0 +1,70 @@
+"""Plan-shape golden tests (SURVEY.md §5.7): assert Catalyst chose
+the physical strategy each operator was designed for — the signal
+that these plans survive a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from infofarmsparkml_spark import registry
+from infofarmsparkml_spark.plans import assert_in_plan, explain_str
+
+
+def q(name):
+    fn, _ = registry.get(name)
+    return fn
+
+
+def test_scan_projected_pushdown_and_pruning(spark, sf_dir):
+    df = q("scan_projected")(spark, sf_dir)
+    plan = assert_in_plan(df, "PushedFilters", "l_shipdate")
+    # column pruning: the parquet ReadSchema must NOT include wide
+    # untouched columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_tax" not in read_schema[0], read_schema[0]
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    df = q("join_broadcast")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_sortmerge_is_sortmerge(spark, sf_dir):
+    df = q("join_sortmerge")(spark, sf_dir)
+    assert_in_plan(df, "SortMergeJoin")
+
+
+def test_limit_topk_is_take_ordered(spark, sf_dir):
+    df = q("limit_topk")(spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_agg_groupby_partial_aggregation(spark, sf_dir):
+    df = q("agg_groupby")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # two-phase hash aggregation (map-side partial + final)
+    assert "partial_sum" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2
+    # the shipdate filter must reach the parquet scan
+    fplan = explain_str(df)
+    assert "PushedFilters" in fplan and "l_shipdate" in fplan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    df = q("llm_cosine_topk")(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Broadcast" in plan, plan[:3000]
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    plan = explain_str(q("join_semi")(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    plan = explain_str(q("join_anti")(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_interval_join_broadcasts_calendar(spark, sf_dir):
+    plan = explain_str(q("join_range_interval")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

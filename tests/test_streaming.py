@@ -1,0 +1,119 @@
+"""Streaming semantics tests (SURVEY.md §5.6): watermark late-drop
+with a real two-batch stream, and cross-batch state evolution for
+the custom stateful operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from infofarmsparkml_spark import registry
+from infofarmsparkml_spark.catalog import load_table
+from infofarmsparkml_spark.operators._util import scratch_dir
+
+
+def q(name):
+    fn, _ = registry.get(name)
+    return fn
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    emitted = q("stream_watermark_late")(spark, sf_dir).collect()
+    assert emitted, "append mode must emit the closed windows"
+    # expected counts: early + on-time rows only (late copies excluded)
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r["window_start"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .collect()
+    }
+    for row in emitted:
+        assert expected.get(row["window_start"]) == row["n"], (
+            "late rows leaked into window %s" % row["window_start"]
+        )
+
+
+def test_stateful_state_survives_batches(spark, sf_dir, tmp_path):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    half = ev.filter(F.col("user_id") % 2 == 0)
+    other = ev.filter(F.col("user_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    other.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_user(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    stream = (
+        spark.readStream.schema(half.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    qy = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            count_user, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ifsml_test_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    # last update per user equals the full batch count
+    final = (
+        spark.table("ifsml_test_state")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    )
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {r["user_id"]: r["n"] for r in final}
+    assert got == expected
+
+
+def test_stream_dedup_recovers_original(spark, sf_dir):
+    out = q("stream_dedup")(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_session_windows_respect_gap(spark, sf_dir):
+    rows = q("stream_session")(spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for user, sessions in by_user.items():
+        sessions.sort()
+        for (s1, e1), (s2, e2) in zip(sessions, sessions[1:]):
+            assert s2 >= e1, f"user {user}: overlapping sessions"
