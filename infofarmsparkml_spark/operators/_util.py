@@ -23,6 +23,40 @@ def net_price() -> Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def money(col: Column | str) -> Column:
+    """Exact DECIMAL(12,4) view of a money-like double column.
+
+    Money SUMS must be computed in decimal, not double: the fixture
+    values have ≤4 decimal digits, so group sums land EXACTLY on
+    .xx5 rounding boundaries, where Spark's and DuckDB's
+    independently-accumulated float errors round in opposite
+    directions (observed on tpch_q3/q10 per-order sums). Decimal
+    aggregation is exact and order-independent; the final
+    cast-to-double is deterministic and identical in both engines.
+    Oracle twin: CAST(x AS DECIMAL(12,4)).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,4)")
+
+
+def net_price_exact() -> Column:
+    """Decimal-exact revenue expr; value has ≤4 decimals, so the
+    rescale back to DECIMAL(12,4) is exact (no rounding-mode
+    dependence)."""
+    return (money("l_extendedprice") * (1 - money("l_discount"))).cast(
+        "decimal(12,4)"
+    )
+
+
+def sum_money(expr: Column, alias: str) -> Column:
+    """SUM in decimal, surfaced as double VIA STRING: decimal→double
+    casts are off-by-one-ulp between engines (DuckDB divides int128
+    by 10^scale in double math; Java rounds correctly), but both
+    parse a decimal STRING to the correctly-rounded nearest double.
+    Oracle twin: CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)."""
+    return F.sum(expr).cast("string").cast("double").alias(alias)
+
+
 def ts_lit(s: str) -> Column:
     """Timestamp literal; fixtures store dates as timestamps."""
     return F.lit(s).cast("timestamp")

@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from infofarmsparkml_spark.operators._util import load_table, net_price, r, ts_lit
+from infofarmsparkml_spark.operators._util import (
+    load_table,
+    money,
+    net_price_exact,
+    r,
+    sum_money,
+    ts_lit,
+)
 from infofarmsparkml_spark.registry import query
 
 
@@ -53,8 +60,14 @@ SELECT
   l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                AS DECIMAL(12,4))
+           * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+    AS sum_charge,
   ROUND(AVG(l_quantity), 4) AS avg_qty,
   ROUND(AVG(l_extendedprice), 4) AS avg_price,
   ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -72,15 +85,15 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     input scale — all the work is map-side partial aggregation.
     """
     lf = load_table(spark, sf_dir, "lineitem")
-    charge = net_price() * (1 + F.col("l_tax"))
+    charge = net_price_exact() * (1 + money("l_tax"))
     return (
         lf.filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r(F.sum("l_quantity")).alias("sum_qty"),
             r(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r(F.sum(net_price())).alias("sum_disc_price"),
-            r(F.sum(charge)).alias("sum_charge"),
+            sum_money(net_price_exact(), "sum_disc_price"),
+            sum_money(charge, "sum_charge"),
             r(F.avg("l_quantity"), 4).alias("avg_qty"),
             r(F.avg("l_extendedprice"), 4).alias("avg_price"),
             r(F.avg("l_discount"), 4).alias("avg_disc"),

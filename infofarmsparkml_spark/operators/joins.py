@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from infofarmsparkml_spark.operators._util import load_table, net_price, r
+from infofarmsparkml_spark.operators._util import (
+    load_table,
+    net_price_exact,
+    r,
+    sum_money,
+)
 from infofarmsparkml_spark.registry import query
 
 
@@ -38,7 +43,8 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
 SELECT n_name, r_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -61,7 +67,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
         .agg(
-            r(F.sum(net_price())).alias("revenue"),
+            sum_money(net_price_exact(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

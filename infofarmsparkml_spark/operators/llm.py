@@ -45,13 +45,19 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_minhash_lsh_dedup")  # LSH bucketing is seed/impl-specific: rows-only
 def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup pairs via MinHashLSH over binarized token
-    vectors (Jaccard distance ≤ 0.5). The LSH bucket join replaces
+    vectors (Jaccard distance ≤ 0.05). The LSH bucket join replaces
     the O(n²) pair space with candidate buckets — the standard
     shape for corpus-scale near-dedup. Seeded; pair quality asserted
-    in unit tests against exact n-gram Jaccard."""
+    in unit tests against exact n-gram Jaccard.
+
+    Input is a deterministic 2000-doc shard: this synthetic corpus
+    draws every doc from one tiny vocabulary, so ALL pairs are
+    Jaccard-similar and LSH candidate generation degenerates to
+    O(n²) (8.5M pairs / 400s at sf0.1 unsharded). Production
+    near-dedup runs exactly this query per shard/band partition."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     toks = RegexTokenizer(
         inputCol="text", outputCol="toks", pattern=r"\s+"
     ).transform(docs)
@@ -59,7 +65,7 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = cv.fit(toks).transform(toks).select("doc_id", "tf")
     lsh = MinHashLSH(inputCol="tf", outputCol="mh", numHashTables=5, seed=42)
     model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.05, distCol="jaccard_dist")
     return (
         pairs.select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -206,8 +212,18 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle until the per-query top-k window over qid.
     Both engines fold the 64 products in index order → doubles are
     bit-identical, so ranking agrees; ties broken by cid."""
-    q = _double_vecs(spark, sf_dir, "qid", "qv").filter(F.col("qid") < 5)
-    c = _double_vecs(spark, sf_dir, "cid", "cv")
+    # norms are precomputed per SIDE (once per vector), not per
+    # pair — at k queries that saves k redundant corpus-norm folds
+    # per corpus row; cos = dot/(|q||c|) evaluates the same IEEE
+    # expression tree as the oracle, so doubles stay bit-identical.
+    q = (
+        _double_vecs(spark, sf_dir, "qid", "qv")
+        .filter(F.col("qid") < 5)
+        .withColumn("qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    c = _double_vecs(spark, sf_dir, "cid", "cv").withColumn(
+        "cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
     sims = (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select(
@@ -215,10 +231,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             (
                 _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                )
+                / (F.col("qnorm") * F.col("cnorm"))
             ).alias("cos"),
         )
     )
@@ -234,12 +247,15 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: approximate kNN join via BucketedRandomProjectionLSH
     (euclidean) — the scale path for all-pairs similarity: hash to
-    buckets, join within buckets only. Recall vs exact asserted in
-    unit tests."""
+    buckets, join within buckets only; sharded to a deterministic
+    2000-vector block for the same degenerate-corpus reason as L2.
+    Recall vs exact asserted in unit tests."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2000
+    ).select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
@@ -248,7 +264,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=3, seed=42,
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="euclidean")
+    pairs = model.approxSimilarityJoin(emb, emb, 1.2, distCol="euclidean")
     return (
         pairs.select(
             F.col("datasetA.vec_id").alias("vec_a"),
@@ -561,4 +577,196 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.filter(F.col("jac") >= 0.2).select(
         "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    )
+
+
+@query(
+    "llm_simhash",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS hv
+      FROM tok),
+bits AS (SELECT doc_id, hv, unnest(range(0, 32)) AS b FROM h),
+votes AS (
+  SELECT doc_id, b,
+         SUM(2 * ((hv // CAST(pow(2, b) AS BIGINT)) % 2) - 1) AS vote
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (32-bit): per-token md5-prefix
+    hash votes each bit ±1; the sign vector is the fingerprint.
+    Near-dups then reduce to Hamming-distance ≤ r pairs — see
+    `llm_simhash_pairs`. Formulated relationally (explode → 2-key
+    agg) rather than with nested higher-order lambdas: same result,
+    and the vote aggregation is a partial-aggregable shuffle that
+    scales to any corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn(
+        "hv", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    )
+    bits = tok.select(
+        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    pow2 = F.pow(F.lit(2.0), F.col("b")).cast("long")
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(2 * ((F.col("hv") / pow2).cast("long") % 2) - 1).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@query(
+    "llm_simhash_pairs",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents WHERE doc_id < 60),
+h AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS hv
+      FROM tok),
+bits AS (SELECT doc_id, hv, unnest(range(0, 32)) AS b FROM h),
+votes AS (
+  SELECT doc_id, b,
+         SUM(2 * ((hv // CAST(pow(2, b) AS BIGINT)) % 2) - 1) AS vote
+  FROM bits GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+""",
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: Hamming distance ≤ 10 on a
+    bounded id block (production blocks by fingerprint bands, not
+    all-pairs; the block keeps the oracle O(60²))."""
+    fp = llm_simhash(spark, sf_dir).filter(F.col("doc_id") < 60)
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 10)
+    )
+
+
+@query(
+    "llm_embedding_neardup",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+""",
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded id block
+    (cos ≥ 0.35 — this synthetic corpus tops out ≈0.44). The scale
+    path replaces the block with LSH/IVF candidate generation
+    (llm_knn_join / llm_ivf_topk); the exact kernel is this same
+    JVM-side zip_with dot product."""
+    v = _double_vecs(spark, sf_dir, "vec_id", "e").filter(F.col("vec_id") < 200)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@query("llm_ivf_topk")  # centroid training is seeded k-means: rows-only
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: k-means coarse
+    quantizer (8 cells, seed=42) partitions the corpus; each query
+    probes its nprobe=3 nearest cells and ranks exact cosine only
+    within them. At 100 TB the cell assignment is a partition key —
+    a probe touches nprobe/ncells of the data. Recall vs the exact
+    top-k is asserted in tests/test_operators.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    )
+    km = KMeans(featuresCol="fv", k=8, seed=42, maxIter=20).fit(emb)
+    assigned = km.transform(emb).select(
+        "vec_id", "e", F.col("prediction").alias("cell")
+    )
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        ["cell", "center"],
+    )
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv")
+    )
+    # probe the 3 closest cells per query (squared L2 to centroid)
+    qc = queries.crossJoin(F.broadcast(centers)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = W.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
+    probed = qc.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= 3
+    ).select("qid", "qv", "cell")
+    cand = probed.join(assigned, "cell").filter(F.col("qid") != F.col("vec_id"))
+    cos = _dot(F.col("qv"), F.col("e")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
     )

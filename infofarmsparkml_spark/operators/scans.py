@@ -104,3 +104,63 @@ def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") < ts_lit("1996-01-01"))
         .select("l_orderkey", "l_extendedprice")
     )
+
+
+@query(
+    "sink_bucketed",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: bucketed-table sink + shuffle-free co-located join. Both
+    sides are written bucketBy(8) on the join key and sorted within
+    buckets, so the subsequent sort-merge join needs NO Exchange
+    (asserted in tests/test_plans.py) — the at-scale answer to
+    repeated large-large joins on a stable key: pay the shuffle
+    once at write time, never at read time."""
+    li_tbl, od_tbl = "ifsml_li_bucketed", "ifsml_od_bucketed"
+    for tbl in (li_tbl, od_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", scratch_dir("li_bucketed", sf_dir))
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", scratch_dir("od_bucketed", sf_dir))
+        .mode("overwrite")
+        .saveAsTable(od_tbl)
+    )
+    li = spark.table(li_tbl)
+    od = spark.table(od_tbl)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def bucketed_join_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-only fragment over the bucketed tables (written by
+    sink_bucketed) for the no-Exchange plan assertion. The merge
+    hint pins sort-merge (at tiny scale AQE would broadcast) so the
+    assertion exercises the bucketed-exchange elision."""
+    li = spark.table("ifsml_li_bucketed")
+    od = spark.table("ifsml_od_bucketed")
+    return li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)

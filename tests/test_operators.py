@@ -129,3 +129,25 @@ def test_decode_stub_schema_and_determinism(spark, sf_dir):
     r1 = sorted(map(tuple, out1.collect()))
     r2 = sorted(map(tuple, q("mm_decode_stub")(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r["qid"], r["cid"])
+        for r in q("llm_cosine_topk")(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"]) for r in q("llm_ivf_topk")(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=3/8 recall too low: {recall}"
+
+
+def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fp = {r["doc_id"]: r["simhash"] for r in q("llm_simhash")(spark, sf_dir).collect()}
+    assert all(0 <= v < 2**32 for v in fp.values())
+    # a doc's fingerprint is invariant across runs (pure function)
+    fp2 = {r["doc_id"]: r["simhash"] for r in q("llm_simhash")(spark, sf_dir).collect()}
+    assert fp == fp2

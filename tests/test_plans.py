@@ -68,3 +68,12 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 def test_interval_join_broadcasts_calendar(spark, sf_dir):
     plan = explain_str(q("join_range_interval")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from infofarmsparkml_spark.operators.scans import bucketed_join_plan_df
+
+    q("sink_bucketed")(spark, sf_dir).collect()  # writes the tables
+    plan = explain_str(bucketed_join_plan_df(spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
