@@ -135,3 +135,39 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed.getField("k") * 2).alias("k_doubled"),
         F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("round_trip"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+SELECT
+  doc_id,
+  to_json(struct_pack(lang := lang, source := source)) AS meta_json,
+  to_json(struct_pack(doc := struct_pack(lang := lang, n_chars := n_chars)))
+    AS nested_json,
+  lang AS meta_lang,
+  n_chars AS nested_chars
+FROM documents
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: struct construction, nesting, and field access — the
+    typed-metadata idiom for multimodal records (mm_binary_metadata
+    carries one of these per blob). Structs are surfaced as JSON:
+    a struct-typed result column is representation-fragile across
+    the Python boundary (Arrow → dict, vanilla → Row tuple), while
+    Spark's and DuckDB's compact to_json texts match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.struct(F.col("lang").alias("lang"), F.col("source").alias("source"))
+    nested = F.struct(
+        F.struct(
+            F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")
+        ).alias("doc")
+    )
+    return docs.select(
+        "doc_id",
+        F.to_json(meta).alias("meta_json"),
+        F.to_json(nested).alias("nested_json"),
+        meta.getField("lang").alias("meta_lang"),
+        nested.getField("doc").getField("n_chars").alias("nested_chars"),
+    )

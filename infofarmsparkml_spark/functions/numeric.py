@@ -94,3 +94,37 @@ def fn_cast_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") > 0).alias("is_positive"),
         F.col("c_nationkey").cast("double").alias("nation_dbl"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_orderkey & 255 AS and_mask,
+  o_orderkey | 4096 AS or_flag,
+  xor(o_orderkey, o_custkey) AS xor_keys,
+  (o_orderkey % 16) << 2 AS shl,
+  o_orderkey >> 3 AS shr,
+  CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+  ~o_orderkey AS flipped
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: bitwise pack — and/or/xor/shifts/popcount/not. These are
+    the building blocks of the hash/fingerprint operators (SimHash
+    bands, bloom partitioning). DuckDB's ``^`` is exponentiation,
+    so the oracle spells XOR as ``xor()``."""
+    od = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return od.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("xor_keys"),
+        F.shiftleft(k % 16, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("flipped"),
+    )

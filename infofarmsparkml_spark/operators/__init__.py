@@ -15,6 +15,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    subqueries,
     tpch,
     udfs,
     windows,

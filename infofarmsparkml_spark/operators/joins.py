@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from infofarmsparkml_spark.operators._util import (
     load_table,
+    money,
     net_price_exact,
     r,
     sum_money,
@@ -344,4 +345,46 @@ def join_multikey_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l_linenumber").alias("ln_b"),
         F.col("a.l_partkey").alias("part_a"),
         F.col("b.l_partkey").alias("part_b"),
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR)
+            AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: salted join — the manual skew-mitigation pattern for
+    when one join key carries a disproportionate share of rows and
+    AQE's skew splitting isn't available (e.g. pre-shuffle stage
+    reuse). The fact side gets a deterministic salt in [0, 8) from
+    xxhash64 of its line identity; the build side is exploded 8×
+    with every salt value; joining on (key, salt) splits each hot
+    key's rows across 8 reducers. Result is identical to the
+    unsalted join — which is exactly what the oracle checks.
+    """
+    nsalt = 8
+    lf = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(nsalt)),
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)]))
+    )
+    return (
+        lf.join(
+            orders,
+            (lf.l_orderkey == orders.o_orderkey) & (lf.salt == orders.salt),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            sum_money(money("l_extendedprice"), "sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )

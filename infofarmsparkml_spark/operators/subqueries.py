@@ -1,0 +1,207 @@
+"""SQL entry point (SURVEY.md §3.2 E2) + subquery surface.
+
+Every query here goes through ``spark.sql`` over temp views — the
+second of the three engine entry points — and exercises the
+subquery shapes Catalyst must decorrelate (SURVEY.md §4:
+``RewriteCorrelatedScalarSubquery``): scalar subqueries, correlated
+scalar aggregates, EXISTS/IN semi-joins, CTEs, and lateral
+(correlated FROM-clause) subqueries. Decorrelation rewrites each
+into joins/aggregations — no per-row re-execution — which is what
+makes these shapes viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register fixture tables as temp views for spark.sql queries.
+
+    Cheap (plan-only) and idempotent; re-registered per call so a
+    session that switches sf_dir never reads stale views.
+    """
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+""",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: customers above the global
+    mean balance. Catalyst plans the subquery as an independent
+    aggregate whose single-row result broadcasts into the filter."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "sql_correlated_scalar",
+    oracle="""
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+""",
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate (TPC-H Q17 shape): lineitems
+    below half their part's average quantity. Decorrelates to a
+    per-part aggregate + join — one pass over the fact table, not
+    one subquery per row. l_quantity is integer-valued, so the
+    double average is exact and the comparison engine-stable."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+@query(
+    "sql_exists_in",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+  AND o_custkey IN (
+        SELECT c_custkey
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+""",
+)
+def sql_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + IN-subquery: high-quantity orders from
+    ASIA customers. Both predicates become left-semi joins (the
+    customer side over broadcast-sized dims)."""
+    _views(spark, sf_dir, "orders", "lineitem", "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          AND o_custkey IN (
+                SELECT c_custkey
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA')
+        """
+    )
+
+
+@query(
+    "sql_cte",
+    oracle="""
+WITH cust_rev AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
+       n_orders
+FROM cust_rev
+WHERE CAST(rev_d AS DOUBLE) >
+      (SELECT AVG(CAST(rev_d AS DOUBLE)) FROM cust_rev)
+""",
+)
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE referenced twice (rows + its own average): customers
+    whose total order revenue exceeds the mean customer revenue.
+    Revenue sums in DECIMAL (exact, order-independent) and
+    surfaces as double via string (see _util.sum_money)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH cust_rev AS (
+          SELECT o_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               CAST(CAST(rev_d AS STRING) AS DOUBLE) AS revenue,
+               n_orders
+        FROM cust_rev
+        WHERE CAST(rev_d AS DOUBLE) >
+              (SELECT AVG(CAST(rev_d AS DOUBLE)) FROM cust_rev)
+        """
+    )
+
+
+@query(
+    "sql_lateral_view",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+FROM documents
+WHERE lang = 'en'
+""",
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode — the SQL-surface twin of fn_explode,
+    through the generator path of the SQL parser."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id, tok
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE lang = 'en'
+        """
+    )
+
+
+@query(
+    "sql_lateral_join",
+    oracle="""
+SELECT c_custkey, t.max_price, t.n_orders
+FROM customer, LATERAL (
+  SELECT MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders
+  FROM orders WHERE o_custkey = c_custkey
+) t
+""",
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral correlated subquery in FROM (Spark ≥3.2): per
+    customer, the max order price and order count. A scalar-agg
+    lateral always yields one row (NULL max / 0 count for
+    order-less customers), so the join preserves all customers;
+    decorrelates to an outer join against a grouped aggregate."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.max_price, t.n_orders
+        FROM customer, LATERAL (
+          SELECT MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders
+          FROM orders WHERE o_custkey = c_custkey
+        ) t
+        """
+    )

@@ -354,3 +354,108 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return run_to_memory(joined, "ifsml_stream_join", "append")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+       a.user_id AS user_id,
+       CAST(a.ts AS TIMESTAMP) AS view_ts,
+       CAST(b.ts AS TIMESTAMP) AS purchase_ts
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+        + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: watermarked stream-stream inner join — view→purchase
+    attribution per user within a 30-minute window. Both sides
+    carry watermarks and the join predicate bounds event-time
+    distance, so each side's state store retains only rows inside
+    the watermark horizon — the property that makes stream-stream
+    joins feasible on unbounded input. Single-batch availableNow
+    execution equals the batch self-join, which is the oracle."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    return run_to_memory(joined, "ifsml_stream_stream_join", "append")
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE value > 50
+GROUP BY event_type
+""",
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: foreachBatch sink — the escape hatch for sinks without a
+    native streaming writer (JDBC, multi-table fan-out). Each
+    micro-batch lands as parquet via the batch writer; the final
+    result re-reads the sink and aggregates, matching the pure
+    batch oracle. Exactly-once here comes from idempotent
+    overwrite-per-batch-id partitioning."""
+    import shutil
+
+    from infofarmsparkml_spark.operators._util import scratch_dir
+
+    sink = scratch_dir("feb_sink", sf_dir)
+    shutil.rmtree(sink, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value") > 50)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # partition dir keyed by batch id → re-running a batch
+        # overwrites its own output only (idempotent restart)
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/batch={batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{sink}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(f"{sink}_ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{sink}/batch=*")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
