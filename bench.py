@@ -34,6 +34,10 @@ HEADLINE = [
     "llm_cosine_topk",
     "udf_scalar_arrow",     # Arrow boundary
     "fn_array",             # higher-order exprs
+    "tpch_q3",              # multi-join composites
+    "tpch_q6",
+    "tpch_q18",
+    "sql_correlated_scalar",  # decorrelated subquery
 ]
 
 

@@ -205,3 +205,135 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking). The commit/receipt-date
+    clause is adapted to the trimmed schema as `l_shipdate >
+    o_orderdate` — same EXISTS-decorrelation shape: left-semi join
+    on orderkey with the extra non-equi predicate, then count by
+    priority. Lineitem is the probe side and never materializes
+    beyond the semi-join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-04-01"))
+    )
+    lf = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            lf,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+SELECT CAST(CAST(
+         100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                   ELSE CAST(0 AS DECIMAL(12,4)) END)
+       AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-02-01'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): date-filtered lineitem joins a
+    broadcast part dim; conditional decimal aggregate. The usual
+    promo/total ratio is surfaced as two exact sums instead of one
+    division so the oracle hash-match stays float-robust."""
+    lf = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1996-02-01"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), net_price_exact()
+    ).otherwise(F.lit(0).cast("decimal(12,4)"))
+    return lf.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
+        sum_money((F.lit(100.0).cast("decimal(12,4)") * promo).cast("decimal(20,4)"), "promo_revenue"),
+        sum_money(net_price_exact(), "total_revenue"),
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, disjunctive predicates): the
+    brand/size arms prune the broadcast part side before the join;
+    the mixed part×lineitem disjunction evaluates post-join inside
+    whole-stage codegen — no fallback to nested-loop."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (
+                (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+            )
+            | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45))
+        )
+    )
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 45)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        lf.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm)
+        .agg(
+            sum_money(net_price_exact(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
