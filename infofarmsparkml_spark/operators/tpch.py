@@ -337,3 +337,425 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "tpch_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping): five-way join where every dim
+    side (supplier, customer, nation×2) broadcasts; the only
+    shuffle left is lineitem⋈orders plus the final aggregation.
+    The nation-pair disjunction is applied after both nation joins
+    resolve — Catalyst cannot split it per-side."""
+    lf = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        lf.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(sum_money(net_price_exact(), "revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle="""
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                 ELSE CAST(0 AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE)
+         AS nation_volume,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
+         AS total_volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): the classic
+    sum(case)/sum() market-share ratio surfaced as exact numerator
+    + denominator (division of two independently-rounded doubles is
+    the one place engines legitimately diverge). Customer-side
+    nation→region restricts the probe; supplier-side nation labels
+    the contribution."""
+    region_name = "ASIA"
+    lf = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region_name)
+    cust_region = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        lf.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_region, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            sum_money(
+                F.when(F.col("supp_nation") == "NATION_3", net_price_exact()).otherwise(zero),
+                "nation_volume",
+            ),
+            sum_money(net_price_exact(), "total_volume"),
+        )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle="""
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (1 - CAST(l_discount AS DECIMAL(12,4)))
+              - CAST(p_retailprice AS DECIMAL(12,4))
+                   * CAST(l_quantity AS DECIMAL(12,4)) * 0.01
+           ) AS VARCHAR) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): the fixture has no
+    partsupp.ps_supplycost, so unit cost is modeled as 1% of
+    p_retailprice — same five-way join + decimal expression shape.
+    part/supplier/nation broadcast; only lineitem⋈orders shuffles."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey"), F.col("n_name").alias("nation")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        money("p_retailprice") * money("l_quantity") * F.lit("0.01").cast("decimal(12,4)")
+    ).cast("decimal(18,6)")
+    profit = (net_price_exact().cast("decimal(18,6)") - cost).cast("decimal(18,6)")
+    return (
+        lf.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(sum_money(profit, "profit"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <  o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes / priority): the fixture has no
+    l_shipmode, so lines are classed by l_returnflag and lateness is
+    `shipdate within [orderdate, orderdate+30d)` — conditional count
+    aggregates over an equi-join with residual range predicates."""
+    lf = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lf.join(
+            orders,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (customer order-count distribution): left outer join so
+    zero-order customers survive as c_count=0, then a second
+    aggregation over the first — two shuffles by design, the second
+    over a tiny domain (distinct counts)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+             * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): revenue per supplier in a quarter, then
+    keep the max. The max is computed on the EXACT decimal sums (not
+    the double surface), so ties/equality are engine-independent.
+    The 1-row max broadcasts back against the revenue aggregate."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(net_price_exact()).alias("rev_dec"))
+    )
+    top = F.broadcast(rev.agg(F.max("rev_dec").alias("max_rev")))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(top, F.col("rev_dec") == F.col("max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity orders): correlated scalar subquery
+    decorrelated by hand — pre-aggregate avg(l_quantity) per
+    partkey, then join the threshold back to the brand-filtered
+    lines. l_quantity values are whole numbers, so the double avg is
+    exact and the 0.2× threshold compares identically everywhere."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    avg_qty = lf.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_threshold")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        lf.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            sum_money(money("l_extendedprice"), "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+WITH x AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+           FROM lineitem GROUP BY l_orderkey, l_suppkey),
+     w AS (SELECT l_orderkey, MAX(smax) AS omax, COUNT(*) AS nsupp
+           FROM x GROUP BY l_orderkey),
+     l AS (SELECT x.l_orderkey, x.l_suppkey
+           FROM x JOIN w ON x.l_orderkey = w.l_orderkey
+           WHERE x.smax = w.omax AND w.nsupp >= 2),
+     u AS (SELECT l_orderkey FROM l GROUP BY l_orderkey HAVING COUNT(*) = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM l
+JOIN u ON l.l_orderkey = u.l_orderkey
+JOIN orders   ON o_orderkey = l.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l.l_suppkey
+GROUP BY s_name
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): without
+    commit/receipt dates, the 'blamed' supplier is the UNIQUE latest
+    shipper in a multi-supplier finished order — the same
+    exists/not-exists double-filter expressed as window aggregates
+    over one shuffle of (orderkey, suppkey) partials."""
+    from pyspark.sql import Window
+
+    x = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        x.withColumn("omax", F.max("smax").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "nlate", F.sum(F.when(F.col("smax") == F.col("omax"), 1).otherwise(0)).over(w)
+        )
+        .filter((F.col("smax") == F.col("omax")) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        flagged.join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+         AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global sales opportunity): rich customers with no
+    RECENT orders (none since 1999), grouped by nation. Scalar-subquery average broadcasts as
+    a 1-row cross join; the no-orders test is a left-anti join
+    against just the o_custkey column."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= ts_lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            sum_money(money("c_acctbal"), "totacctbal"),
+        )
+    )
