@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from infofarmsparkml_spark.operators._util import (
     load_table,
     money,
+    net_cents,
     net_price_exact,
     r,
+    cents,
+    sum_cents,
     sum_money,
     ts_lit,
 )
@@ -85,15 +88,15 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     input scale — all the work is map-side partial aggregation.
     """
     lf = load_table(spark, sf_dir, "lineitem")
-    charge = net_price_exact() * (1 + money("l_tax"))
+    charge_c6 = net_cents() * (100 + cents("l_tax"))
     return (
         lf.filter(F.col("l_shipdate") <= ts_lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r(F.sum("l_quantity")).alias("sum_qty"),
             r(F.sum("l_extendedprice")).alias("sum_base_price"),
-            sum_money(net_price_exact(), "sum_disc_price"),
-            sum_money(charge, "sum_charge"),
+            sum_cents(net_cents(), "sum_disc_price"),
+            sum_cents(charge_c6, "sum_charge", 6),
             r(F.avg("l_quantity"), 4).alias("avg_qty"),
             r(F.avg("l_extendedprice"), 4).alias("avg_price"),
             r(F.avg("l_discount"), 4).alias("avg_disc"),

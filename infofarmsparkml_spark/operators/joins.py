@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from infofarmsparkml_spark.operators._util import (
     load_table,
     money,
+    net_cents,
     net_price_exact,
     r,
+    cents,
+    sum_cents,
     sum_money,
 )
 from infofarmsparkml_spark.registry import query
@@ -68,7 +71,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
         .agg(
-            sum_money(net_price_exact(), "revenue"),
+            sum_cents(net_cents(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -384,7 +387,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderstatus")
         .agg(
-            sum_money(money("l_extendedprice"), "sum_price"),
+            sum_cents(cents("l_extendedprice"), "sum_price", 2),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

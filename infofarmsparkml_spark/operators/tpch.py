@@ -14,10 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from infofarmsparkml_spark.operators._util import (
+    cents,
     load_table,
     money,
+    net_cents,
     net_price_exact,
     r,
+    sum_cents,
     sum_money,
     ts_lit,
 )
@@ -58,7 +61,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lf, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(sum_money(net_price_exact(), "revenue"))
+        .agg(sum_cents(net_cents(), "revenue"))
     )
 
 
@@ -100,7 +103,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            sum_money(net_price_exact(), "revenue"),
+            sum_cents(net_cents(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -131,7 +134,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            sum_money(money("l_extendedprice") * money("l_discount"), "revenue"),
+            sum_cents(cents("l_extendedprice") * cents("l_discount"), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -169,7 +172,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lf, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(sum_money(net_price_exact(), "revenue"))
+        .agg(sum_cents(net_cents(), "revenue"))
     )
 
 
@@ -277,7 +280,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0).cast("decimal(12,4)"))
     return lf.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
         sum_money((F.lit(100.0).cast("decimal(12,4)") * promo).cast("decimal(20,4)"), "promo_revenue"),
-        sum_money(net_price_exact(), "total_revenue"),
+        sum_cents(net_cents(), "total_revenue"),
     )
 
 
@@ -333,7 +336,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(arm)
         .agg(
-            sum_money(net_price_exact(), "revenue"),
+            sum_cents(net_cents(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -392,7 +395,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(sum_money(net_price_exact(), "revenue"))
+        .agg(sum_cents(net_cents(), "revenue"))
     )
 
 
@@ -464,7 +467,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("supp_nation") == "NATION_3", net_price_exact()).otherwise(zero),
                 "nation_volume",
             ),
-            sum_money(net_price_exact(), "total_volume"),
+            sum_cents(net_cents(), "total_volume"),
         )
     )
 
@@ -663,7 +666,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("ap_key") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            sum_money(money("l_extendedprice"), "small_qty_revenue"),
+            sum_cents(cents("l_extendedprice"), "small_qty_revenue", 2),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -756,6 +759,6 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            sum_money(money("c_acctbal"), "totacctbal"),
+            sum_cents(cents("c_acctbal"), "totacctbal", 2),
         )
     )
