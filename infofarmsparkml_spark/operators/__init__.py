@@ -12,6 +12,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     llm,
     ml,
     multimodal,
+    pipeline,
     scans,
     setops,
     sorts,

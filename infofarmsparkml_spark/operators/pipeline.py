@@ -1,0 +1,173 @@
+"""Large-scale pipeline composites: batch sessionization, funnel
+analysis, and distributed total sort (SURVEY.md §2 extensions —
+the event-analytics shapes a 100 TB clickstream pipeline runs
+daily).
+
+Scale posture: sessionization and funnels partition by user_id —
+one shuffle each, state bounded per user. Total sort uses
+repartitionByRange (sampled range boundaries) so each partition
+sorts independently and the output is globally ordered without a
+single-reducer bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table, r
+from infofarmsparkml_spark.registry import query
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN date_diff('second',
+                LAG(CAST(ts AS TIMESTAMP)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(ts AS TIMESTAMP)) > 1800
+              OR LAG(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(is_new) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM ordered)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30-min silence. lag → flag → running sum → group, all
+    partitioned by user_id: exactly one shuffle of the events table,
+    no per-user state beyond the window sort. This is the batch twin
+    of `stream_session` (session_window) and the pattern that holds
+    at clickstream scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM firsts
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view → click → purchase, ordered by each
+    user's FIRST occurrence of each step. One conditional-min
+    aggregation per user (single shuffle), then a global roll-up —
+    no self-joins, no window sort. NULL-comparison semantics make
+    'step missing' drop out of the strict > tests on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("purchased_after_click"),
+    )
+
+
+@query(
+    "sort_range_partitioned",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+FROM orders
+WHERE o_totalprice > 100000
+""",
+)
+def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total sort + global rank WITHOUT a global window.
+
+    A bare `rank() OVER (ORDER BY ...)` collapses to one partition —
+    the single-reducer anti-pattern. Instead: (1) repartitionByRange
+    samples the key for balanced boundaries, (2) each partition
+    sorts locally and ranks with a PER-PARTITION window, (3) tiny
+    per-partition counts cumsum into offsets that broadcast back.
+    Result is the exact global rank (the compound key is unique so
+    rank == row_number), and the heavy data shuffles exactly once.
+    The rank column makes global order checkable by the
+    order-insensitive hash."""
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    local = (
+        orders.repartitionByRange(8, *key)
+        .sortWithinPartitions(*key)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("local_rn", F.row_number().over(W.partitionBy("pid").orderBy(*key)))
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("offset") + F.col("local_rn")).alias("price_rank"),
+        )
+    )

@@ -77,3 +77,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = explain_str(bucketed_join_plan_df(spark, sf_dir), "simple")
     assert "SortMergeJoin" in plan, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    df = q("win_sessionize")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # lag, running sum, and the final agg must all reuse ONE
+    # hashpartitioning(user_id) exchange of the events table
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_sort_range_partitioned_no_global_window(spark, sf_dir):
+    df = q("sort_range_partitioned")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # heavy data range-partitions; the global rank comes from the
+    # per-partition window + broadcast offsets, never a
+    # SinglePartition exchange of the orders table
+    assert "rangepartitioning" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_tpch_q18_aggregates_before_join(spark, sf_dir):
+    df = q("tpch_q18")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the lineitem pre-aggregation must appear BELOW the first join
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
