@@ -726,6 +726,227 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q2",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+  FROM cost)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM best
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE unit_cost = best_cost
+  AND p_size BETWEEN 1 AND 15
+  AND p_type = 'SMALL'
+  AND r_name = 'EUROPE'
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): the fixture has no partsupp,
+    so the supply relation is reconstructed from lineitem and unit
+    cost is min(l_extendedprice / l_quantity) per (part, supplier) —
+    IEEE double division is bit-identical across engines, so the
+    min-cost equality needs no rounding. The heavy fact table
+    aggregates FIRST (one shuffle on (partkey, suppkey)), the
+    per-part minimum is a window over the tiny aggregate, and every
+    dimension (part, supplier, nation, region) broadcasts."""
+    from pyspark.sql import Window
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    cost = lf.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(1, 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        best.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_8')
+  GROUP BY l_partkey)
+SELECT l_partkey,
+       CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(value_dec AS DOUBLE)
+      > (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM v)
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): no partsupp, so a part's
+    'inventory value' is the summed extendedprice shipped by
+    suppliers of the chosen nations. Sums are exact (long cents /
+    decimal on the oracle side); the HAVING-fraction threshold is a
+    1-row global aggregate that broadcasts back as a cross join —
+    the standard decorrelation of Q11's scalar subquery. Both
+    engines derive the compared doubles from exact integer sums, so
+    the > test is deterministic."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    total = F.broadcast(v.agg(F.sum("value_c").alias("total_c")))
+    return (
+        v.crossJoin(total)
+        .filter(
+            F.col("value_c").cast("double")
+            > F.col("total_c").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): distinct-supplier
+    count per (brand, type, size) over the lineitem-derived supply
+    relation; 'complaint' suppliers are modeled as negative account
+    balance and removed with a broadcast anti-join (the NOT IN is
+    safe to rewrite as anti-join because s_suppkey is never null).
+    Part prunes before broadcasting; the distinct agg does its
+    partial dedup map-side."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+flagged AS (
+  SELECT l_partkey, l_suppkey, qty,
+         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+  FROM shipped)
+SELECT s_name, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_dominant_parts
+FROM flagged JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty > 0.5 * part_total
+GROUP BY s_name
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): without ps_availqty the
+    'excess stock' test becomes 'this supplier shipped more than
+    half of the part's yearly volume' — same nested-aggregate +
+    semi-join chain: name-filtered parts broadcast into a
+    (part, supplier) aggregate, a per-part window computes the
+    denominator without a second shuffle of the base data, and the
+    surviving pairs roll up per supplier. l_quantity is
+    integer-valued so the 0.5× comparison is exact in double."""
+    from pyspark.sql import Window
+
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1997-01-01"))
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    flagged = shipped.withColumn(
+        "part_total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("qty") > F.lit(0.5) * F.col("part_total"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        flagged.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_partkey").alias("n_dominant_parts"))
+    )
+
+
+@query(
     "tpch_q22",
     oracle="""
 SELECT c_nationkey, COUNT(*) AS numcust,
