@@ -104,3 +104,21 @@ def test_tpch_q18_aggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_tpch_q2_aggregates_fact_before_dims(spark, sf_dir):
+    df = q("tpch_q2")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # lineitem reduces to (part, supp) partials before any dim join;
+    # part and supplier+nation+region all broadcast
+    agg_pos = plan.find("HashAggregate")
+    bcast_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos != -1 and bcast_pos != -1
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_tpch_q16_anti_join_broadcasts(spark, sf_dir):
+    df = q("tpch_q16")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
