@@ -88,6 +88,39 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b: partition PRUNING on a hive-partitioned layout — the
+    read-side payoff of `sink_parquet`'s write-side layout choice.
+    The l_returnflag='R' filter resolves against directory names at
+    planning time (plan shows PartitionFilters, asserted in
+    tests/test_plans.py), so at 100 TB the other flags' files are
+    never opened, listed row groups only."""
+    out = scratch_dir("li_prune", sf_dir)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
     "scan_projected",
     oracle="""
 SELECT l_orderkey, l_extendedprice

@@ -122,3 +122,12 @@ def test_tpch_q16_anti_join_broadcasts(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_scan_partition_pruned_has_partition_filters(spark, sf_dir):
+    df = q("scan_partition_pruned")(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan
+    # the pruning predicate must be a partition filter, not a data filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("l_returnflag" in ln for ln in pf), pf
