@@ -127,6 +127,33 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS bucket_total
+FROM orders GROUP BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic bucketing — the
+    one-shuffle distributed histogram (bucket id computed map-side
+    from the value, partial counts combine before the exchange).
+    Double division + FLOOR is IEEE-identical in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / F.lit(50000.0))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r(F.sum("o_totalprice")).alias("bucket_total"),
+        )
+    )
+
+
 @query("agg_approx_distinct")  # approx sketch — can never hash-match: rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: HyperLogLog++ approximate count-distinct. Deterministic

@@ -770,3 +770,20 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language — how a training-data
+    pipeline rebalances a 100 TB corpus (e.g. downsample the
+    dominant language, keep the tail). `sampleBy` applies a
+    per-stratum Bernoulli filter map-side: no shuffle of the
+    corpus, only the tiny per-lang audit count at the end.
+    Deterministic for a fixed seed."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.25}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )

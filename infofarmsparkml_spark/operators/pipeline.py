@@ -117,6 +117,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+  FROM events GROUP BY user_id)
+SELECT DATE_DIFF('day', CAST(f.first_ts AS DATE),
+                 CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_no,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY day_no
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: distinct users active N days after their
+    own first event. The per-user first timestamp comes from a
+    window min over ONE hashpartitioning(user_id) exchange (no
+    self-join of the events table); the day_no roll-up with its
+    distinct-user partials is the only other shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
+    return (
+        ev.withColumn(
+            "day_no",
+            F.datediff(F.to_date("ts"), F.to_date(first_ts)).cast("long"),
+        )
+        .groupBy("day_no")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
     "sort_range_partitioned",
     oracle="""
 SELECT o_orderkey, o_totalprice,
