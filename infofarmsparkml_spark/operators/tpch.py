@@ -812,7 +812,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row global aggregate that broadcasts back as a cross join —
     the standard decorrelation of Q11's scalar subquery. Both
     engines derive the compared doubles from exact integer sums, so
-    the > test is deterministic."""
+    the > test is deterministic. The value subtree appears twice in
+    the logical plan but executes ONCE: Spark's exchange reuse
+    (static plan shows ReusedExchange with AQE off; AQE reuses at
+    runtime) dedups the per-part aggregation shuffle, so the fact
+    table is scanned a single time."""
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_8")
     )
