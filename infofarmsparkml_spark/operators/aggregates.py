@@ -391,3 +391,26 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price_notax"
         ),
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+SELECT l_returnflag,
+       BOOL_OR(l_discount > 0.09)  AS any_deep_discount,
+       BOOL_AND(l_quantity >= 1)   AS all_positive_qty,
+       COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates any/every/count_if — short-circuitable
+    partials (a partition that has seen TRUE for `any` never
+    re-examines the flag), all map-side combinable."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_positive_qty"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )

@@ -205,3 +205,34 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "sql_not_in_null_aware",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+GROUP BY o_orderpriority
+""",
+)
+def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — the NULL-AWARE anti join, a different
+    Catalyst path than `left_anti`: if the subquery produced any
+    NULL the whole predicate would be UNKNOWN for every row (3VL),
+    so the planner emits a null-aware BroadcastHashJoin rather than
+    a plain anti join. Here the key is non-null so results match
+    the anti-join reading, but the plan shape is the NAAJ one. The
+    build side must broadcast — at scale, keep NOT IN subqueries
+    small or rewrite to anti-join on a provably non-null key."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        GROUP BY o_orderpriority
+        """
+    )
