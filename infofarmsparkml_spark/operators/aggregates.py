@@ -414,3 +414,63 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") >= 1).alias("all_positive_qty"),
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+         AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect a
+    DISTINCT set per group, sort, join. The sort makes the result
+    deterministic under any partitioning — bare listagg's element
+    order is shuffle-dependent and would never hash-match. Distinct
+    sets stay bounded (enum-like columns), so the collected state is
+    tiny even when groups are billions of rows."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+           AS sum_qty,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+           AS sum_price,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+           AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM s UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide metrics → long key/value rows) after a grouped
+    aggregate — the melt step of metric pipelines. Spark's `unpivot`
+    is a zero-shuffle projection (each wide row expands in place),
+    so the only exchange is the upstream aggregation's."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    s = lf.groupBy("l_returnflag").agg(
+        sum_cents(cents("l_quantity"), "sum_qty", 2),
+        sum_cents(cents("l_extendedprice"), "sum_price", 2),
+        sum_cents(cents("l_discount"), "sum_disc", 2),
+    )
+    return s.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )

@@ -787,3 +787,74 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "llm_doc_pack",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), pref AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS shard_id
+FROM pref
+""",
+)
+def llm_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a fixed
+    token-budget training shard (concat-then-split-at-budget
+    semantics — shard = starting token offset div budget). One
+    shuffle on the stratum key for the prefix sum; doc_id order
+    makes the assignment deterministic. At 100 TB the running sum
+    per stratum is the scale risk (one partition per lang) — shard
+    further by hash(doc_id) ranges per stratum before the window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    pref = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return pref.withColumn(
+        "shard_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048.0)).cast(
+            "long"
+        ),
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+         AS n_redactions
+FROM documents
+""",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction pass: rewrite every digit run to a
+    placeholder token and count redactions per doc — the scrub/audit
+    shape used for emails, phone numbers, IDs in corpus cleaning
+    (fixture text is synthetic word tokens, so the digit-run pattern
+    stands in for the PII pattern bank). Pure JVM regex projection:
+    no shuffle, no Python — scales as a map-only stage. The pattern
+    is kept to RE2∩Java syntax so the DuckDB oracle runs the
+    identical regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias(
+            "n_redactions"
+        ),
+    )

@@ -236,3 +236,43 @@ def sql_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE ladder(lvl, lo) AS (
+  SELECT 0, CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT lvl + 1, lo + 1000.0 FROM ladder WHERE lvl < 9
+)
+SELECT l.lvl, l.lo, COUNT(c.c_custkey) AS n_customers
+FROM ladder l
+LEFT JOIN customer c
+  ON c.c_acctbal >= l.lo AND c.c_acctbal < l.lo + 1000.0
+GROUP BY l.lvl, l.lo
+""",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): the anchor row plus an
+    iterated step build a 10-rung balance ladder, then a theta left
+    join buckets customers onto it. Each recursion step is its own
+    tiny job over the previous increment — fine here because the
+    recursive side is a constant-size dimension; at scale keep the
+    recursive branch small (the big table belongs OUTSIDE the CTE,
+    joined once, exactly as here — the ladder broadcasts)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE ladder(lvl, lo) AS (
+          SELECT 0, CAST(0.0 AS DOUBLE)
+          UNION ALL
+          SELECT lvl + 1, lo + 1000.0 FROM ladder WHERE lvl < 9
+        )
+        SELECT l.lvl, l.lo, COUNT(c.c_custkey) AS n_customers
+        FROM ladder l
+        LEFT JOIN customer c
+          ON c.c_acctbal >= l.lo AND c.c_acctbal < l.lo + 1000.0
+        GROUP BY l.lvl, l.lo
+        """
+    )
