@@ -128,3 +128,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("flipped"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+SELECT c_custkey,
+       round(sin(c_acctbal / 1000.0), 9)            AS sin_v,
+       round(cos(c_acctbal / 1000.0), 9)            AS cos_v,
+       round(atan2(c_acctbal, 1000.0), 9)           AS atan2_v,
+       round(degrees(atan(c_acctbal / 1000.0)), 9)  AS deg_v,
+       round(exp(-abs(c_acctbal) / 10000.0), 9)     AS decay_v
+FROM customer
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3b: trigonometric/transcendental pack. Arguments are scaled
+    into small ranges (|x| ≲ 10) and results rounded to 9 decimals
+    on both sides: Java's StrictMath and DuckDB's libm may disagree
+    in the last ulp (~1e-16 here), and full-precision repr would
+    surface that; 9 decimals is far above the ulp and far below any
+    analytical use's tolerance."""
+    cu = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal") / 1000.0
+    return cu.select(
+        "c_custkey",
+        F.round(F.sin(x), 9).alias("sin_v"),
+        F.round(F.cos(x), 9).alias("cos_v"),
+        F.round(F.atan2(F.col("c_acctbal"), F.lit(1000.0)), 9).alias("atan2_v"),
+        F.round(F.degrees(F.atan(x)), 9).alias("deg_v"),
+        F.round(F.exp(-F.abs(F.col("c_acctbal")) / 10000.0), 9).alias("decay_v"),
+    )

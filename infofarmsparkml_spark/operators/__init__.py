@@ -7,6 +7,7 @@ explicit so a broken module fails loudly at registration time.
 
 from infofarmsparkml_spark.operators import (  # noqa: F401
     aggregates,
+    etl,
     filters,
     joins,
     llm,

@@ -1,0 +1,189 @@
+"""Warehouse-maintenance ETL composites: MERGE-style upsert, SCD
+type-2 dimension building, and data-quality profiling.
+
+These are the operations that keep a 100 TB lakehouse current:
+upserts land the daily delta, SCD2 turns a change log into validity
+intervals, and the DQ profile is the cheap full-scan audit run
+before promoting a partition. All three are pure DataFrame
+compositions — one shuffle each on their natural key — with exact
+DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'U',
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey)           AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey)             AS o_custkey,
+       COALESCE(s.o_orderstatus, t.o_orderstatus)     AS o_orderstatus,
+       COALESCE(s.o_totalprice, t.o_totalprice)       AS o_totalprice,
+       COALESCE(s.o_orderdate, t.o_orderdate)         AS o_orderdate,
+       COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+""",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT) without a table format: full outer join target⋈source on
+    the key, source wins per column via COALESCE. The source here is
+    a deterministic delta derived from the fixture (urgent orders
+    updated to status 'U', plus the same rows re-keyed as inserts).
+    At scale this is the shuffle-on-key plan Delta/Iceberg MERGE
+    lowers to anyway; with a bucketed target (see `sink_bucketed`)
+    the target side needs no exchange at all."""
+    tgt = load_table(spark, sf_dir, "orders")
+    upd = tgt.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+    src = upd.select(*_ORDER_COLS).union(ins.select(*_ORDER_COLS))
+    t, s = tgt.alias("t"), src.alias("s")
+    merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in _ORDER_COLS
+        ]
+    )
+
+
+@query(
+    "etl_scd2",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS attr_value, ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 from a change log: collapse consecutive repeats of
+    the tracked attribute (event_type per user), then lead() closes
+    each version's validity interval; the open interval is the
+    current row. Two windows over the same (user_id, ts) sort —
+    Catalyst reuses one sort+shuffle for both. This is the standard
+    dimension-history build: deterministic, no state, re-runnable on
+    any partition of users independently."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(order).alias("valid_to"),
+        F.row_number().over(order).alias("version"),
+        F.lead("ts").over(order).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col_name,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column null count, exact distinct
+    count, numeric min/max — the audit table written next to every
+    promoted partition. Computed as ONE pass over the table (a
+    single global aggregate producing all measures, then a
+    zero-shuffle melt into per-column rows), not one scan per
+    column; at 100 TB swap the exact distincts for
+    `approx_count_distinct` and keep the same shape."""
+    od = load_table(spark, sf_dir, "orders")
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    profiled = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                "o_orderpriority"]
+    aggs = []
+    for c in profiled:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+        if c in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    wide = od.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            (F.col(f"{c}__min") if c in numeric else F.lit(None).cast("double")
+             ).alias("min_v"),
+            (F.col(f"{c}__max") if c in numeric else F.lit(None).cast("double")
+             ).alias("max_v"),
+        )
+        for c in profiled
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.col_name", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v")
