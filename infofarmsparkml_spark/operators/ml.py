@@ -294,3 +294,188 @@ def ml_scaler_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("pc_norm"),
     )
+
+
+@query("ml_decision_tree")  # greedy split search on binned stats: rows-only
+def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: decision-tree classification embeddings→label — the
+    era's second classic classifier (MLlib DecisionTree.trainClassifier).
+    Training aggregates per-feature histogram stats per node: one
+    distributed pass per tree level, no per-row driver work."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    data = _embedding_features(spark, sf_dir)
+    dt = DecisionTreeClassifier(
+        featuresCol="features", labelCol="label", maxDepth=5, seed=42
+    )
+    return (
+        dt.fit(data)
+        .transform(data)
+        .select("vec_id", "label", F.col("prediction").cast("int").alias("predicted"))
+    )
+
+
+@query("ml_random_forest")  # seeded bagging ensemble: rows-only
+def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: random-forest ensemble (20 trees, seeded bootstrap).
+    Trees train over shared per-partition histogram aggregates, so
+    cost grows with trees×levels, not trees×rows — the distributed
+    ensemble shape that holds at scale."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    data = _embedding_features(spark, sf_dir)
+    rf = RandomForestClassifier(
+        featuresCol="features", labelCol="label", numTrees=20, maxDepth=5, seed=42
+    )
+    return (
+        rf.fit(data)
+        .transform(data)
+        .select("vec_id", "label", F.col("prediction").cast("int").alias("predicted"))
+    )
+
+
+@query("ml_naive_bayes")  # corpus-fit priors/likelihoods: rows-only
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: multinomial naive Bayes over hashed term frequencies,
+    predicting each document's language — the era's canonical text
+    classifier (and the sentiment-paper model, PAPERS.md:5). The
+    whole pipeline (tokenize → HashingTF → NB) is two distributed
+    passes: one to aggregate per-class term counts, one to score."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import HashingTF, IndexToString, StringIndexer, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 14),
+            StringIndexer(inputCol="lang", outputCol="label"),
+            NaiveBayes(featuresCol="features", labelCol="label", smoothing=1.0),
+        ]
+    )
+    model = pipe.fit(docs)
+    labels = model.stages[2].labelsArray[0]
+    out = model.transform(docs)
+    back = IndexToString(
+        inputCol="prediction", outputCol="predicted_lang", labels=list(labels)
+    )
+    return back.transform(out).select("doc_id", "lang", "predicted_lang")
+
+
+@query("ml_linreg")  # closed-form normal-equation solver: rows-only
+def ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: linear regression (normal-equation solver — one
+    distributed Gramian aggregation, deterministic closed form)
+    fitting n_chars from whitespace/BPE-ish token counts; emits
+    per-doc prediction and residual."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_ws"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("double")
+        .alias("n_uniq"),
+    )
+    va = VectorAssembler(inputCols=["n_ws", "n_uniq"], outputCol="features")
+    lr = LinearRegression(
+        featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+    )
+    data = va.transform(feats)
+    pred = lr.fit(data).transform(data)
+    return pred.select(
+        "doc_id",
+        F.col("y").cast("long").alias("n_chars"),
+        F.round("prediction", 2).alias("predicted_chars"),
+        F.round(F.col("y") - F.col("prediction"), 2).alias("residual"),
+    )
+
+
+@query("ml_fpgrowth")  # pattern-tree mining: rows-only
+def ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: FP-Growth frequent itemsets over per-order part baskets
+    (market-basket analysis, the classic MLlib association demo).
+    Baskets build with one groupBy; mining distributes by suffix
+    partitioning of the FP-tree. Itemsets are sorted into a stable
+    string key so output is deterministic."""
+    from pyspark.ml.fpm import FPGrowth
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    baskets = lf.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list(F.col("l_partkey") % 50)).alias("items")
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.05, minConfidence=0.2)
+    model = fp.fit(baskets)
+    return model.freqItemsets.select(
+        F.concat_ws(",", F.array_sort(F.col("items"))).alias("itemset"),
+        F.col("freq").alias("n_orders"),
+    )
+
+
+@query("ml_word2vec")  # SGD embedding training: rows-only
+def ml_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: Word2Vec skip-gram embeddings over the corpus tokens
+    (numPartitions=1 + fixed seed keeps training deterministic);
+    emits each vocabulary word's vector norm — a rotation-stable
+    view of the learned geometry."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.split(F.col("text"), " ").alias("words"))
+    w2v = Word2Vec(
+        inputCol="words",
+        outputCol="vec",
+        vectorSize=16,
+        minCount=5,
+        seed=42,
+        numPartitions=1,
+        maxIter=1,
+    )
+    model = w2v.fit(words)
+    arr = vector_to_array(F.col("vector"))
+    return model.getVectors().select(
+        "word",
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("vec_norm"),
+    )
+
+
+@query("ml_crossval")  # k-fold model selection: rows-only
+def ml_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: 3-fold cross-validated model selection over an LR
+    regularization grid — the `pyspark.ml.tuning` surface. Folds
+    split by a seeded hash, so the selection is reproducible; each
+    (fold × param) fit is an independent Spark job, parallelizable
+    across the cluster via `parallelism`."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = _embedding_features(spark, sf_dir)
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=15)
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.01, 0.5]).build()
+    )
+    ev = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=3,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(data)
+    rows = [
+        (float(pm[lr.regParam]), round(float(m), 4))
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(rows, "reg_param double, avg_accuracy double")

@@ -135,3 +135,77 @@ def test_sentiment_lexicon_known_answer(spark):
     )
     got = {r["doc_id"]: r["s"] for r in scored}
     assert got == {0: 1, 1: 0}
+
+
+def test_decision_tree_separable(ml):
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    # axis-aligned separable: x0 < 0 → class 0, x0 > 0 → class 1
+    rows = [([float(i - 10), 0.0], 0 if i < 10 else 1) for i in range(20) if i != 10]
+    df = ml.createDataFrame(rows, ["arr", "label"]).select(
+        array_to_vector("arr").alias("features"), "label"
+    )
+    model = DecisionTreeClassifier(maxDepth=2, seed=42).fit(df)
+    preds = model.transform(df)
+    n_wrong = preds.filter(F.col("prediction") != F.col("label")).count()
+    assert n_wrong == 0
+
+
+def test_naive_bayes_two_vocab_classes(ml):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import HashingTF, StringIndexer, Tokenizer
+
+    rows = [("aaa aaa bbb", "x")] * 5 + [("ccc ddd ddd", "y")] * 5
+    df = ml.createDataFrame(rows, ["text", "lang"])
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="features", numFeatures=64),
+            StringIndexer(inputCol="lang", outputCol="label"),
+            NaiveBayes(featuresCol="features", labelCol="label"),
+        ]
+    )
+    model = pipe.fit(df)
+    preds = model.transform(df)
+    n_wrong = preds.filter(F.col("prediction") != F.col("label")).count()
+    assert n_wrong == 0
+
+
+def test_linreg_exact_line(ml):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    # y = 3x + 7 exactly → normal solver recovers it to fp precision
+    df = ml.createDataFrame(
+        [(float(x), 3.0 * x + 7.0) for x in range(10)], ["x", "y"]
+    )
+    data = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    model = LinearRegression(
+        featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+    ).fit(data)
+    assert abs(model.coefficients[0] - 3.0) < 1e-6
+    assert abs(model.intercept - 7.0) < 1e-6
+
+
+def test_fpgrowth_known_itemsets(ml):
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = ml.createDataFrame(
+        [([1, 2],), ([1, 2],), ([1, 2, 3],), ([3],)], ["items"]
+    )
+    model = FPGrowth(itemsCol="items", minSupport=0.5).fit(baskets)
+    got = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+    }
+    assert got == {(1,): 3, (2,): 3, (1, 2): 3, (3,): 2}
+
+
+def test_crossval_picks_weaker_regularization(spark, sf_dir):
+    # on separable-ish embeddings, reg 0.01 must beat reg 0.5
+    rows = {r["reg_param"]: r["avg_accuracy"] for r in
+            q("ml_crossval")(spark, sf_dir).collect()}
+    assert set(rows) == {0.01, 0.5}
+    assert rows[0.01] >= rows[0.5]
