@@ -131,3 +131,29 @@ def test_scan_partition_pruned_has_partition_filters(spark, sf_dir):
     # the pruning predicate must be a partition filter, not a data filter
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("l_returnflag" in ln for ln in pf), pf
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    # the whole per-column profile must come from ONE pass over the
+    # table, not one scan per column
+    plan = explain_str(q("dq_profile")(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+
+
+def test_etl_scd2_windows_share_one_exchange(spark, sf_dir):
+    # lag-filter + lead/row_number run over the same (user_id, ts)
+    # sort: Catalyst must plan exactly one shuffle
+    plan = explain_str(q("etl_scd2")(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert plan.count("Window") == 2, plan[:3000]
+
+
+def test_agg_unpivot_is_zero_shuffle_expand(spark, sf_dir):
+    # melt happens in place after the aggregation's single exchange
+    plan = explain_str(q("agg_unpivot")(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_etl_merge_upsert_joins_on_key(spark, sf_dir):
+    plan = explain_str(q("etl_merge_upsert")(spark, sf_dir), "simple")
+    assert "FullOuter" in plan or "SortMergeJoin" in plan, plan[:3000]
