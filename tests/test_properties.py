@@ -1,0 +1,93 @@
+"""Property-based algebraic invariants (SURVEY.md §5.4): hypothesis
+generates small row sets; the invariants must hold for ANY data, not
+just the fixtures. Example counts are kept low because every example
+is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window as W, functions as F
+
+SMALL = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# rows of (key, value-with-nulls)
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int")
+
+
+@SMALL
+@given(a=rows_st, b=rows_st)
+def test_union_all_count_additivity(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.union(db).count() == len(a) + len(b)
+
+
+@SMALL
+@given(a=rows_st)
+def test_filter_partitions_rows_under_3vl(spark, a):
+    """filter(p) + filter(NOT p) + filter(p IS NULL) == all rows —
+    the three-valued-logic partition of any predicate."""
+    da = _df(spark, a)
+    p = F.col("v") > 0
+    n = da.filter(p).count() + da.filter(~p).count() + da.filter(p.isNull()).count()
+    assert n == len(a)
+
+
+@SMALL
+@given(a=rows_st)
+def test_distinct_is_idempotent(spark, a):
+    da = _df(spark, a).distinct()
+    assert da.distinct().count() == da.count()
+
+
+@SMALL
+@given(a=rows_st, b=rows_st)
+def test_intersect_except_all_partition_left_side(spark, a, b):
+    """INTERSECT ALL and EXCEPT ALL split the left multiset exactly."""
+    da, db = _df(spark, a), _df(spark, b)
+    assert (
+        da.intersectAll(db).count() + da.exceptAll(db).count() == len(a)
+    )
+
+
+@SMALL
+@given(a=rows_st, b=rows_st)
+def test_inner_join_bounded_by_cross(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b).withColumnRenamed("v", "w")
+    inner = da.join(db, "k", "inner").count()
+    assert inner <= len(a) * len(b)
+    # and left outer preserves every left row at least once
+    left = da.join(db, "k", "left").count()
+    assert left >= len(a)
+
+
+@SMALL
+@given(a=rows_st)
+def test_row_number_is_permutation_per_partition(spark, a):
+    da = _df(spark, a)
+    w = W.partitionBy("k").orderBy(F.col("v").asc_nulls_first())
+    rn = da.withColumn("rn", F.row_number().over(w))
+    got = {
+        (r["k"], r["rn"]) for r in rn.collect()
+    }
+    sizes: dict[int, int] = {}
+    for k, _ in a:
+        sizes[k] = sizes.get(k, 0) + 1
+    want = {(k, i) for k, n in sizes.items() for i in range(1, n + 1)}
+    assert got == want
