@@ -9,6 +9,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     aggregates,
     etl,
     filters,
+    graph,
     joins,
     llm,
     ml,

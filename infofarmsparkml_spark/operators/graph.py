@@ -1,0 +1,86 @@
+"""Graph analytics on DataFrames (no GraphX/GraphFrames dependency):
+a co-purchase graph built from lineitem by self-join, with degree
+(SQL-oracled) and PageRank (iterative power method, the same
+DataFrame-iteration pattern as `llm_dedup_components`).
+
+Scale posture: edges come from one self-join shuffled on the basket
+key; every PageRank iteration is one join + one aggregation on the
+edge partitioning, and `localCheckpoint` every few rounds truncates
+the growing lineage (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed edges (src, dst): parts bought in the same
+    order. Symmetric by construction (both directions emitted)."""
+    lf = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = lf.alias("a")
+    b = lf.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)
+SELECT src AS part, COUNT(*) AS degree
+FROM pairs GROUP BY src
+""",
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree of each part in the co-purchase graph. The self-join
+    shuffles once on the order key; baskets are small (a few lines
+    per order), so the pair expansion is bounded per-key — the skew
+    risk at scale is a mega-basket, handled by AQE skew split."""
+    edges = _copurchase_edges(spark, sf_dir)
+    return edges.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@query("graph_pagerank")  # float iteration order: rows-only + known-answer test
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 power iterations, damping 0.85) over the
+    co-purchase graph, as pure DataFrame ops: contribution = join
+    ranks→edges, new rank = (1-d) + d·sum(contribs). The graph is
+    symmetric so there are no dangling nodes. Lineage is truncated
+    with localCheckpoint every 4 iterations — without it the plan
+    doubles per round and the driver, not the data, becomes the
+    bottleneck."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
+    d = 0.85
+    for i in range(10):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("src"))
+            .agg((F.lit(1.0 - d) + F.lit(d) * F.sum("c")).alias("rank"))
+        )
+        if i % 4 == 3:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("src").alias("part"), F.round("rank", 6).alias("pagerank")
+    )

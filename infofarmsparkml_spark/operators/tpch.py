@@ -24,7 +24,18 @@ from infofarmsparkml_spark.operators._util import (
     sum_money,
     ts_lit,
 )
-from infofarmsparkml_spark.registry import query
+from infofarmsparkml_spark.operators import aggregates as _aggregates
+from infofarmsparkml_spark.registry import _ORACLES, query
+
+
+# Q1 IS the flagship `agg_groupby`; registered under its TPC-H name
+# too so the suite reads q1..q22 without cross-referencing. The
+# oracle is shared by reference (aggregates is imported above, so
+# its registration has already run).
+@query("tpch_q1", oracle=_ORACLES["agg_groupby"])
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — pricing summary report; delegates to `agg_groupby`."""
+    return _aggregates.agg_groupby(spark, sf_dir)
 
 
 @query(

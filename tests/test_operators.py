@@ -151,3 +151,40 @@ def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
     # a doc's fingerprint is invariant across runs (pure function)
     fp2 = {r["doc_id"]: r["simhash"] for r in q("llm_simhash")(spark, sf_dir).collect()}
     assert fp == fp2
+
+
+def test_pagerank_known_answer_path_graph(spark):
+    """3-node path a-b-c (symmetric): numpy power iteration with the
+    same update must match the DataFrame loop to float tolerance."""
+    import numpy as np
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src int, dst int"
+    )
+    from pyspark.sql import functions as F
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
+    d = 0.85
+    for _ in range(10):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("src")).agg(
+            (F.lit(1.0 - d) + F.lit(d) * F.sum("c")).alias("rank")
+        )
+    got = {r["src"]: r["rank"] for r in ranks.collect()}
+
+    deg = {1: 1, 2: 2, 3: 1}
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    pr = {n: 1.0 for n in deg}
+    for _ in range(10):
+        new = {}
+        for n in deg:
+            s = sum(pr[m] / deg[m] for m in deg if n in adj[m])
+            new[n] = (1 - d) + d * s
+        pr = new
+    for n in deg:
+        assert abs(got[n] - pr[n]) < 1e-9, (n, got[n], pr[n])
