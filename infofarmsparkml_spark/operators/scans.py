@@ -189,6 +189,66 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: CSV sink + schema'd re-read. Values must survive the
+    text round-trip exactly: doubles are written with full precision
+    (Spark's CSV writer emits shortest-round-trip decimals) and read
+    back under an EXPLICIT schema — `inferSchema` stays off, per the
+    §1.2 schema policy, and header names carry the mapping."""
+    out = scratch_dir("customer_csv", sf_dir)
+    cu = load_table(spark, sf_dir, "customer")
+    cu.write.mode("overwrite").option("header", True).csv(out)
+    reread = spark.read.schema(cu.schema).option("header", True).csv(out)
+    return reread.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "etl_compact_small_files",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the lakehouse maintenance job: a
+    fragmented table (simulated with a 64-way repartition write) is
+    rewritten range-partitioned on the sort key into few large
+    files, then audited against the source. Range partitioning
+    keeps each output file a contiguous key span (min/max file
+    stats then prune reads); at 100 TB the repartition count comes
+    from target_file_size, not a constant."""
+    frag = scratch_dir("orders_fragmented", sf_dir)
+    compact = scratch_dir("orders_compacted", sf_dir)
+    od = load_table(spark, sf_dir, "orders")
+    od.repartition(64).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    reread = spark.read.parquet(compact)
+    return reread.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def bucketed_join_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-only fragment over the bucketed tables (written by
     sink_bucketed) for the no-Exchange plan assertion. The merge
