@@ -171,3 +171,28 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getField("lang").alias("meta_lang"),
         nested.getField("doc").getField("n_chars").alias("nested_chars"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: VARIANT (Spark 4's binary semi-structured type) —
+    `parse_json` once into variant, then typed `variant_get`
+    extractions. Unlike `get_json_object`, the parse cost is paid
+    once per row however many fields are pulled, and the binary
+    encoding pushes through shuffles — the right semi-structured
+    path at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+    )

@@ -90,3 +90,30 @@ def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("text_crc32"),
         F.hash("text").alias("text_murmur3"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+WITH dims(seg) AS (VALUES ('building'), ('machinery'), ('furniture'))
+SELECT seg, COUNT(*) AS n_customers
+FROM customer JOIN dims ON lower(c_mktsegment) = seg
+GROUP BY seg
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: collation-aware comparison (Spark 4 `COLLATE
+    UTF8_LCASE`): join uppercase fact values against a lowercase dim
+    without materializing lower() on the fact side. Under a collated
+    comparison the equality itself is case-insensitive, so the
+    optimizer can still use a hash join on the collation key."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH dims(seg) AS (VALUES ('building'), ('machinery'), ('furniture'))
+        SELECT seg, COUNT(*) AS n_customers
+        FROM customer
+        JOIN dims ON c_mktsegment = seg COLLATE UTF8_LCASE
+        GROUP BY seg
+        """
+    )

@@ -417,6 +417,30 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_top_k",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (`approx_top_k`): a bounded-memory
+    frequency summary mergeable across partitions — the streaming/
+    at-scale substitute for a full GROUP BY when only the head of
+    the distribution matters. k exceeds the event-type cardinality
+    here, so the sketch is exact and the full-aggregate oracle
+    hash-matches; at real cardinality this op is rows-only by
+    nature."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 32)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").alias("n_events"),
+    )
+
+
+@query(
     "agg_string_agg",
     oracle="""
 SELECT o_orderstatus,
