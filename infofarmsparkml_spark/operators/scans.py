@@ -190,6 +190,44 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dpp",
+    oracle="""
+WITH flags(flag, keep) AS (VALUES ('R', 1), ('A', 0), ('N', 0))
+SELECT l.l_linestatus, COUNT(*) AS n_rows,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN flags f ON l.l_returnflag = f.flag
+WHERE f.keep = 1
+GROUP BY l.l_linestatus
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is hive-partitioned
+    on the join key, the dim side is filtered at runtime — Spark
+    injects the dim's surviving keys as a partition filter
+    (`dynamicpruning` subquery in the plan, asserted in
+    tests/test_plans.py), so only matching partitions are read.
+    This is THE mechanism that makes star-schema joins affordable
+    at 100 TB: the broadcasted dim filter prunes the fact scan
+    before it starts."""
+    out = scratch_dir("li_dpp", sf_dir)
+    lf = load_table(spark, sf_dir, "lineitem")
+    lf.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    flags = spark.createDataFrame(
+        [("R", 1), ("A", 0), ("N", 0)], "flag string, keep int"
+    )
+    dim = flags.filter(F.col("keep") == 1)
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
     "sink_csv_roundtrip",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers,

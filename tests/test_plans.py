@@ -157,3 +157,10 @@ def test_agg_unpivot_is_zero_shuffle_expand(spark, sf_dir):
 def test_etl_merge_upsert_joins_on_key(spark, sf_dir):
     plan = explain_str(q("etl_merge_upsert")(spark, sf_dir), "simple")
     assert "FullOuter" in plan or "SortMergeJoin" in plan, plan[:3000]
+
+
+def test_join_dpp_prunes_partitions_dynamically(spark, sf_dir):
+    # the runtime dim filter must appear as a dynamic partition
+    # pruning subquery on the fact scan
+    plan = explain_str(q("join_dpp")(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
