@@ -187,3 +187,43 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.col_name", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v")
+
+
+@query(
+    "dq_skew_report",
+    oracle="""
+WITH kc AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       ROUND(AVG(cnt), 4) AS avg_cnt,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share,
+       CAST(COUNT(*) FILTER (WHERE cnt > 2.0 * (
+           SELECT AVG(cnt) FROM kc)) AS BIGINT) AS n_hot_keys
+FROM kc
+""",
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight check before a
+    100 TB shuffle: per-key counts reduced to key cardinality, max
+    and mean load, the heaviest key's share of all rows, and how
+    many keys exceed 2× the mean. When top1_share or n_hot_keys is
+    high, the downstream join wants salting (`join_skew_salted`) or
+    AQE skew split. Two tiny aggregations; the per-key table never
+    leaves the executors."""
+    od = load_table(spark, sf_dir, "orders")
+    kc = od.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # mean load joins back as a broadcast scalar — no driver collect,
+    # so the whole report stays one distributed pipeline
+    avg_df = kc.agg(F.avg("cnt").alias("avg_all"))
+    return kc.crossJoin(F.broadcast(avg_df)).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+        F.count_if(F.col("cnt") > 2.0 * F.col("avg_all")).alias("n_hot_keys"),
+    )

@@ -858,3 +858,50 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redactions"
         ),
     )
+
+
+@query(
+    "llm_chunk_sliding",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, tok, n, UNNEST(generate_series(0, n - 1, 48)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s / 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(tok, s + 1, s + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(tok, s + 1, s + 64)) AS INTEGER) AS n_chunk_tokens
+FROM starts
+""",
+)
+def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride
+    48 → 16-token overlap) — the context-window preprocessing step
+    of embedding/RAG pipelines. Token array built once per doc, a
+    generated start-offset sequence explodes into chunk rows, and
+    `slice` cuts each window — all JVM-side expression work, no
+    Python, no shuffle: chunking is a map-only stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tok"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
+    )
+    starts = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(48))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("s") + 1, 64)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / 48).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
