@@ -417,6 +417,37 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_corr_pairs",
+    oracle="""
+SELECT CAST(label AS BIGINT) AS label,
+       ROUND(CORR(CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE)), 6)
+         AS corr_d0_d1,
+       ROUND(CORR(CAST(embedding[1] AS DOUBLE), CAST(embedding[3] AS DOUBLE)), 6)
+         AS corr_d0_d2,
+       ROUND(CORR(CAST(embedding[2] AS DOUBLE), CAST(embedding[3] AS DOUBLE)), 6)
+         AS corr_d1_d2
+FROM embeddings
+GROUP BY label
+""",
+)
+def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between embedding dimensions per
+    class — the feature-redundancy screen run before model training.
+    Each corr is one streaming co-moment aggregate (map-side partial,
+    tiny final state); the full 64×64 matrix at scale is the same
+    plan via `ml.stat.Correlation` on the assembled vector. DuckDB
+    lists are 1-based, Spark arrays 0-based — the oracle indexes
+    shift by one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = [F.col("embedding")[i].cast("double") for i in range(3)]
+    return emb.groupBy("label").agg(
+        r(F.corr(d[0], d[1]), 6).alias("corr_d0_d1"),
+        r(F.corr(d[0], d[2]), 6).alias("corr_d0_d2"),
+        r(F.corr(d[1], d[2]), 6).alias("corr_d1_d2"),
+    )
+
+
+@query(
     "agg_approx_top_k",
     oracle="""
 SELECT event_type, COUNT(*) AS n_events

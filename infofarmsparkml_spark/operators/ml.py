@@ -479,3 +479,29 @@ def ml_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pm, m in zip(grid, model.avgMetrics)
     ]
     return spark.createDataFrame(rows, "reg_param double, avg_accuracy double")
+
+
+@query("ml_gbt")  # boosted-stage training: rows-only
+def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: gradient-boosted trees (binary: label >= 3), the
+    strongest of the tree family. Each boosting stage is a full
+    distributed tree fit on the previous stage's residuals —
+    sequential in stages, parallel within each; 10 stages × depth 3
+    keeps bench cost bounded."""
+    from pyspark.ml.classification import GBTClassifier
+
+    data = _embedding_features(spark, sf_dir).withColumn(
+        "bin_label", (F.col("label") >= 3).cast("int")
+    )
+    gbt = GBTClassifier(
+        featuresCol="features", labelCol="bin_label",
+        maxIter=10, maxDepth=3, seed=42,
+    )
+    return (
+        gbt.fit(data)
+        .transform(data)
+        .select(
+            "vec_id", "bin_label",
+            F.col("prediction").cast("int").alias("predicted"),
+        )
+    )
