@@ -20,14 +20,17 @@ from infofarmsparkml_spark.registry import query
     oracle="""
 SELECT
   doc_id,
-  string_split(text, ' ') AS tokens,
+  ARRAY_TO_STRING(string_split(text, ' '), '|') AS tokens,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
   string_split(text, ' ')[1] AS first_token,
   list_contains(string_split(text, ' '), 'join') AS has_join,
-  list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+  ARRAY_TO_STRING(list_sort(list_distinct(string_split(text, ' '))), '|')
+    AS vocab,
   CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS vocab_size,
-  list_filter(string_split(text, ' '), t -> length(t) > 4) AS long_tokens,
-  list_sort(list_transform(string_split(text, ' '), t -> upper(t)))
+  ARRAY_TO_STRING(list_filter(string_split(text, ' '), t -> length(t) > 4),
+                  '|') AS long_tokens,
+  ARRAY_TO_STRING(list_sort(list_transform(string_split(text, ' '),
+                                           t -> upper(t))), '|')
     AS upper_sorted,
   CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
        AS BIGINT) AS total_chars,
@@ -39,19 +42,25 @@ FROM documents
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: array pack over tokenized text — size, indexing,
     membership, dedup+sort, higher-order transform/filter/aggregate
-    (fold), position."""
+    (fold), position. Array-typed intermediates are serialized to
+    '|'-joined strings in the output: grading harnesses hash rows
+    via pandas and list cells are unhashable there."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        toks.alias("tokens"),
+        F.concat_ws("|", toks).alias("tokens"),
         F.size(toks).alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
         F.array_contains(toks, "join").alias("has_join"),
-        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.concat_ws("|", F.array_sort(F.array_distinct(toks))).alias("vocab"),
         F.size(F.array_distinct(toks)).alias("vocab_size"),
-        F.filter(toks, lambda t: F.length(t) > 4).alias("long_tokens"),
-        F.array_sort(F.transform(toks, lambda t: F.upper(t))).alias("upper_sorted"),
+        F.concat_ws(
+            "|", F.filter(toks, lambda t: F.length(t) > 4)
+        ).alias("long_tokens"),
+        F.concat_ws(
+            "|", F.array_sort(F.transform(toks, lambda t: F.upper(t)))
+        ).alias("upper_sorted"),
         F.aggregate(
             toks,
             F.lit(0).cast("long"),
@@ -84,8 +93,10 @@ SELECT
   MAP(['lang', 'source'], [lang, source])['lang'][1] AS lang_val,
   CAST(cardinality(MAP(['lang', 'source'], [lang, source])) AS INTEGER)
     AS n_keys,
-  list_sort(map_keys(MAP(['lang', 'source'], [lang, source]))) AS keys_sorted,
-  list_sort(map_values(MAP(['lang', 'source'], [lang, source])))
+  ARRAY_TO_STRING(list_sort(map_keys(MAP(['lang', 'source'], [lang, source]))),
+                  ',') AS keys_sorted,
+  ARRAY_TO_STRING(list_sort(map_values(MAP(['lang', 'source'],
+                                           [lang, source]))), ',')
     AS vals_sorted
 FROM documents
 """,
@@ -93,8 +104,9 @@ FROM documents
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: map pack — construction, key lookup, cardinality,
     keys/values (sorted: map iteration order is not contractual).
-    Output is scalars/arrays, not raw maps — map cell encodings
-    differ across engines."""
+    Output is scalars and joined strings, not raw maps/arrays —
+    complex cell encodings differ across engines and break
+    pandas-based row hashing."""
     docs = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
@@ -103,8 +115,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at(m, "lang").alias("lang_val"),
         F.size(m).alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
-        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.concat_ws(",", F.array_sort(F.map_values(m))).alias("vals_sorted"),
     )
 
 

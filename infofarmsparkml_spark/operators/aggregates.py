@@ -249,7 +249,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   c_mktsegment,
-  LIST_SORT(LIST(DISTINCT c_nationkey)) AS nations,
+  ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_nationkey)), ',') AS nations,
   CAST(COUNT(*) AS BIGINT) AS n_cust
 FROM customer
 GROUP BY c_mktsegment
@@ -258,10 +258,16 @@ GROUP BY c_mktsegment
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: collect_set, order-normalized with array_sort so the
     value-hash is deterministic (collect order is partition-order
-    dependent by design)."""
+    dependent by design). The sorted set is surfaced as a
+    comma-joined string, not a raw array column: grading harnesses
+    canonicalize rows with pandas sort/hash, and list cells are
+    unhashable there — same idiom as agg_string_agg."""
     cust = load_table(spark, sf_dir, "customer")
+    nations = F.array_sort(F.collect_set("c_nationkey"))
     return cust.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.concat_ws(
+            ",", F.transform(nations, lambda x: x.cast("string"))
+        ).alias("nations"),
         F.count(F.lit(1)).alias("n_cust"),
     )
 
