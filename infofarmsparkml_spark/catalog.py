@@ -46,6 +46,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     must wrap ts the same way (verified in tests)."""
     from pyspark.sql import functions as F
 
+    # Sessions built by session.get_spark declare this in the
+    # builder; the runtime set stays because external harnesses run
+    # these queries on their own vanilla sessions, where the read
+    # would otherwise fail with [PARQUET_TYPE_ILLEGAL]. Idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer `div`, NOT `/`: double division loses precision for

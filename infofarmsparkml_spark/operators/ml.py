@@ -33,17 +33,24 @@ def _tokens_and_tf(spark: SparkSession, sf_dir: str):
 @query(
     "ml_tokenize_tf",
     oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents)
 SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
-         AS n_distinct_terms
-FROM documents
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_terms
+FROM tok
 """,
 )
 def ml_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1: RegexTokenizer + CountVectorizer term frequencies. The
     TF vector's nnz equals the distinct-token count (minDF=1, no
-    vocab cap), which gives the SQL-checkable projection."""
+    vocab cap), which gives the SQL-checkable projection. The oracle
+    mirrors RegexTokenizer semantics exactly — lower(), regex \\s+
+    split, empty tokens dropped (minTokenLength=1) — so parity does
+    not depend on fixture text being single-spaced lowercase."""
     from pyspark.ml.functions import vector_to_array
 
     tf = _tokens_and_tf(spark, sf_dir)
