@@ -62,11 +62,37 @@ def ml_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_tfidf")  # IDF weights are corpus-fit model state: rows-only
+@query(
+    "ml_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+m AS (SELECT COUNT(*) AS n_docs FROM tok),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+  GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+w AS (
+  SELECT tf.doc_id,
+         tf.tf * ln((m.n_docs + 1.0) / (df.df + 1.0)) AS wt
+  FROM tf JOIN df USING (token) CROSS JOIN m)
+SELECT t.doc_id,
+       CAST(COUNT(CASE WHEN w.wt > 0 THEN 1 END) AS INTEGER) AS tfidf_nnz,
+       ROUND(SQRT(COALESCE(SUM(w.wt * w.wt), 0)), 4) AS tfidf_l2
+FROM tok t LEFT JOIN w ON t.doc_id = w.doc_id
+GROUP BY t.doc_id
+""",
+)
 def ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: TF-IDF pipeline (tokenize → CountVectorizer → IDF);
-    emits per-doc L2 norm + nnz of the weighted vector. Known-answer
-    unit test covers the IDF formula log((m+1)/(df+1))."""
+    emits per-doc L2 norm + nnz of the weighted vector. The IDF
+    formula is closed-form — ln((m+1)/(df+1)) — so the oracle
+    recomputes it relationally (tf × df join); known-answer unit
+    test covers the formula besides."""
     from pyspark.ml.feature import IDF
     from pyspark.ml.functions import vector_to_array
 
@@ -83,9 +109,66 @@ def ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_ngram_stopwords")  # Spark's builtin english stopword list: rows-only
+# Spark's default English stopword list (public resource shipped with
+# pyspark: StopWordsRemover.loadDefaultStopWords("english"), 181
+# words), inlined so the DuckDB oracle can apply the identical list.
+_ENGLISH_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had",
+    "having", "do", "does", "did", "doing", "a", "an", "the", "and",
+    "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "should", "now", "i'll", "you'll", "he'll",
+    "she'll", "we'll", "they'll", "i'd", "you'd", "he'd", "she'd",
+    "we'd", "they'd", "i'm", "you're", "he's", "she's", "it's",
+    "we're", "they're", "i've", "we've", "you've", "they've", "isn't",
+    "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't",
+    "don't", "doesn't", "didn't", "won't", "wouldn't", "shan't",
+    "shouldn't", "mustn't", "can't", "couldn't", "cannot", "could",
+    "here's", "how's", "let's", "ought", "that's", "there's", "what's",
+    "when's", "where's", "who's", "why's", "would",
+]
+
+_STOPWORDS_SQL_LIST = "[" + ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in _ENGLISH_STOPWORDS
+) + "]"
+
+
+@query(
+    "ml_ngram_stopwords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+content AS (
+  SELECT doc_id,
+         list_filter(toks,
+                     t -> NOT list_contains({_STOPWORDS_SQL_LIST}, t))
+           AS ctoks
+  FROM tok)
+SELECT doc_id,
+       CAST(len(ctoks) AS INTEGER) AS n_content_tokens,
+       CAST(GREATEST(len(ctoks) - 1, 0) AS INTEGER) AS n_bigrams,
+       CASE WHEN len(ctoks) >= 2 THEN ctoks[1] || ' ' || ctoks[2] END
+         AS first_bigram
+FROM content
+""",
+)
 def ml_ngram_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: StopWordsRemover (default English list) + bigram NGram."""
+    """M3: StopWordsRemover (default English list, inlined above for
+    the oracle twin) + bigram NGram."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
 
@@ -370,12 +453,42 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.transform(out).select("doc_id", "lang", "predicted_lang")
 
 
-@query("ml_linreg")  # closed-form normal-equation solver: rows-only
+@query(
+    "ml_linreg",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS y,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS x2
+  FROM documents),
+s AS (
+  SELECT covar_pop(x1, x1) AS s11, covar_pop(x1, x2) AS s12,
+         covar_pop(x2, x2) AS s22,
+         covar_pop(x1, y) AS sy1, covar_pop(x2, y) AS sy2,
+         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my
+  FROM f),
+b AS (
+  SELECT (s22 * sy1 - s12 * sy2) / (s11 * s22 - s12 * s12) AS b1,
+         (s11 * sy2 - s12 * sy1) / (s11 * s22 - s12 * s12) AS b2,
+         m1, m2, my
+  FROM s)
+SELECT f.doc_id,
+       CAST(f.y AS BIGINT) AS n_chars,
+       ROUND(b.my + b.b1 * (f.x1 - b.m1) + b.b2 * (f.x2 - b.m2), 2)
+         AS predicted_chars,
+       ROUND(f.y - (b.my + b.b1 * (f.x1 - b.m1) + b.b2 * (f.x2 - b.m2)), 2)
+         AS residual
+FROM f CROSS JOIN b
+""",
+)
 def ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14: linear regression (normal-equation solver — one
     distributed Gramian aggregation, deterministic closed form)
     fitting n_chars from whitespace/BPE-ish token counts; emits
-    per-doc prediction and residual."""
+    per-doc prediction and residual. OLS on 2 features + intercept
+    is closed-form, so the oracle solves the same normal equations
+    via covariance algebra (Cramer on the centered 2×2 system)."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
