@@ -2,18 +2,24 @@
 BinaryType payloads with typed metadata, and Arrow-batched decode /
 feature-extract plumbing via mapInPandas.
 
-The container has no image/audio libs, so the decode step is a
-clearly-marked deterministic STUB (set IFSML_REAL_DECODE=1 to hit
-the NotImplementedError for the real path) — but the Spark-side
-plumbing (schema, Arrow batch shape, partitioning) is real and
-tested, which is the part that matters for the 100 TB design:
-payloads stay columnar in Arrow batches end-to-end, metadata is
-computed per batch, and nothing ever collects to the driver.
+The container has no image/audio libs (PIL/soundfile/pyav), so we
+use two real formats the stdlib can produce AND parse — WAV (the
+``wave`` module) and binary PPM (P6, a plain 3-line header) — to
+keep the decode kernel honest: payloads are genuine format bytes
+synthesized per-row inside mapInPandas, and the decoder sniffs
+magic bytes and parses the actual container structure. Metadata is
+deterministic from doc_id, so the full encode→decode round trip is
+hash-checked against a DuckDB oracle that independently predicts
+byte sizes and dimensions. The 100 TB shape is the same as a
+PIL/pyav pipeline: payloads stay columnar in Arrow batches
+end-to-end, decode is per-batch in the workers, and nothing ever
+collects to the driver.
 """
 
 from __future__ import annotations
 
-import os
+import io
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,43 +59,132 @@ _DECODE_SCHEMA = (
     "width int, height int, sample_rate int, n_frames int, decode_status string"
 )
 
+_WAV_RATES = (8000, 16000, 22050, 44100)
 
-def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-batch 'decode': real implementation would call PIL /
-    soundfile / pyav here on each payload."""
-    real = os.environ.get("IFSML_REAL_DECODE") == "1"
+
+def _synth_payload(doc_id: int, text: bytes) -> bytes:
+    """Real format bytes, deterministic from doc_id: even ids get a
+    binary PPM (P6) image whose pixel data is the doc text tiled to
+    size; odd ids get a 16-bit mono PCM WAV of a 440 Hz tone."""
+    d = doc_id // 2
+    if doc_id % 2 == 0:
+        w, h = 8 + d % 16, 8 + d % 9
+        header = f"P6\n{w} {h}\n255\n".encode()
+        n = 3 * w * h
+        fill = text or b"\x00"
+        body = (fill * (n // len(fill) + 1))[:n]
+        return header + body
+    rate = _WAV_RATES[d % 4]
+    n_frames = 256 + d % 250
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        import numpy as np
+
+        t = np.arange(n_frames, dtype="float64")
+        samples = (np.sin(2 * np.pi * 440.0 * t / rate) * 32000).astype("<i2")
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch payload synthesis — runs in the workers, so blob
+    construction scales with the corpus, never the driver."""
     for pdf in batches:
-        if real:
-            raise NotImplementedError(
-                "real media decode requires PIL/soundfile/pyav, "
-                "not present in this container"
-            )
-        ids = pdf["doc_id"]
-        media = ids % 3
-        nbytes = pdf["payload"].map(len).astype("int32")
         yield pd.DataFrame(
             {
-                "doc_id": ids,
-                "media_type": media.map({0: "image", 1: "audio", 2: "video"}),
-                "payload_bytes": nbytes,
-                # deterministic fake metadata derived from the payload
-                "width": (64 + (ids % 16) * 8).where(media != 1, 0).astype("int32"),
-                "height": (64 + (ids % 9) * 16).where(media != 1, 0).astype("int32"),
-                "sample_rate": (16000).__mul__(1) * (media == 1).astype("int32"),
-                "n_frames": (1 + (nbytes % 250) * (media == 2)).astype("int32"),
-                "decode_status": "stub_ok",
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    _synth_payload(int(i), t.encode("utf-8"))
+                    for i, t in zip(pdf["doc_id"], pdf["text"].fillna(""))
+                ],
             }
         )
 
 
-@query("mm_decode_stub")  # decode is stubbed (no media libs): rows-only
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decode_one(payload: bytes) -> tuple[str, int, int, int, int, str]:
+    """(media_type, width, height, sample_rate, n_frames, status) —
+    parses the actual container bytes, no side-channel metadata."""
+    if payload[:2] == b"P6":
+        # P6\n<width> <height>\n<maxval>\n<raw RGB>
+        try:
+            _, dims, _ = payload.split(b"\n", 2)
+            w, h = (int(x) for x in dims.split())
+            return "image", w, h, 0, 1, "ok"
+        except (ValueError, IndexError):
+            return "image", 0, 0, 0, 0, "corrupt"
+    if payload[:4] == b"RIFF":
+        try:
+            with wave.open(io.BytesIO(payload)) as wv:
+                return (
+                    "audio", 0, 0,
+                    wv.getframerate(), wv.getnframes(), "ok",
+                )
+        except wave.Error:
+            return "audio", 0, 0, 0, 0, "corrupt"
+    return "unknown", 0, 0, 0, 0, "unsupported"
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch decode: same Arrow-batched shape a PIL/pyav kernel
+    would use."""
+    for pdf in batches:
+        meta = [_decode_one(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            meta,
+            columns=[
+                "media_type", "width", "height",
+                "sample_rate", "n_frames", "decode_status",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+        out.insert(2, "payload_bytes", pdf["payload"].map(len).astype("int32"))
+        for c in ("width", "height", "sample_rate", "n_frames"):
+            out[c] = out[c].astype("int32")
+        yield out
+
+
+@query(
+    "mm_decode_wav_ppm",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+  CAST(CASE WHEN doc_id % 2 = 0
+    THEN length('P6' || chr(10)
+                || CAST(8 + (doc_id // 2) % 16 AS VARCHAR) || ' '
+                || CAST(8 + (doc_id // 2) % 9 AS VARCHAR)
+                || chr(10) || '255' || chr(10))
+         + 3 * (8 + (doc_id // 2) % 16) * (8 + (doc_id // 2) % 9)
+    ELSE 44 + 2 * (256 + (doc_id // 2) % 250)
+    END AS INTEGER) AS payload_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id // 2) % 16 ELSE 0 END
+       AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id // 2) % 9 ELSE 0 END
+       AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 2 = 1
+    THEN [8000, 16000, 22050, 44100][((doc_id // 2) % 4) + 1] ELSE 0 END
+    AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 256 + (doc_id // 2) % 250 ELSE 1 END
+       AS INTEGER) AS n_frames,
+  'ok' AS decode_status
+FROM documents
+""",
+)
+def mm_decode_wav_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary payloads via
-    mapInPandas: Arrow batches in, typed metadata out. Partitioning
-    is inherited from the scan — at 100 TB you size
-    maxPartitionBytes so a batch of payloads fits worker memory."""
+    mapInPandas: Arrow batches in, typed metadata out. Payloads are
+    REAL WAV / PPM bytes synthesized per row in the workers and the
+    decoder parses the genuine container structure (wave module /
+    P6 header); the oracle predicts the byte sizes and dimensions
+    independently, so a mis-parse fails the hash. Partitioning is
+    inherited from the scan — at 100 TB you size maxPartitionBytes
+    so a batch of payloads fits worker memory. The 44-byte RIFF
+    header constant in the oracle is the standard PCM WAV header
+    the wave module emits."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        _encode_batch, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)

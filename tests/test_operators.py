@@ -120,15 +120,51 @@ def test_components_are_consistent(spark, sf_dir):
         assert labels[comp] == comp, "component id must be its own root"
 
 
-def test_decode_stub_schema_and_determinism(spark, sf_dir):
-    out1 = q("mm_decode_stub")(spark, sf_dir)
+def test_decode_wav_ppm_round_trip(spark, sf_dir):
+    out1 = q("mm_decode_wav_ppm")(spark, sf_dir)
     assert out1.schema.simpleString() == (
         "struct<doc_id:bigint,media_type:string,payload_bytes:int,"
         "width:int,height:int,sample_rate:int,n_frames:int,decode_status:string>"
     )
-    r1 = sorted(map(tuple, out1.collect()))
-    r2 = sorted(map(tuple, q("mm_decode_stub")(spark, sf_dir).collect()))
-    assert r1 == r2
+    rows = sorted(map(tuple, out1.collect()))
+    # decoded metadata equals the synthesis ground truth per doc_id
+    for (doc_id, media, nbytes, w, h, sr, nf, status) in rows:
+        assert status == "ok"
+        d = doc_id // 2
+        if doc_id % 2 == 0:
+            assert media == "image"
+            assert (w, h, sr, nf) == (8 + d % 16, 8 + d % 9, 0, 1)
+            header = f"P6\n{w} {h}\n255\n"
+            assert nbytes == len(header) + 3 * w * h
+        else:
+            assert media == "audio"
+            assert (w, h) == (0, 0)
+            assert sr == (8000, 16000, 22050, 44100)[d % 4]
+            assert nf == 256 + d % 250
+            assert nbytes == 44 + 2 * nf
+    r2 = sorted(map(tuple, q("mm_decode_wav_ppm")(spark, sf_dir).collect()))
+    assert rows == r2
+
+
+def test_decode_kernel_parses_real_bytes():
+    """Unit-level: the decoder reads actual container bytes."""
+    from infofarmsparkml_spark.operators.multimodal import (
+        _decode_one,
+        _synth_payload,
+    )
+
+    img = _synth_payload(10, b"hello world")
+    assert img[:2] == b"P6"
+    assert _decode_one(img) == ("image", 8 + 5 % 16, 8 + 5 % 9, 0, 1, "ok")
+    wav = _synth_payload(11, b"ignored")
+    assert wav[:4] == b"RIFF"
+    media, w, h, sr, nf, status = _decode_one(wav)
+    assert (media, w, h, status) == ("audio", 0, 0, "ok")
+    assert sr == (8000, 16000, 22050, 44100)[5 % 4]
+    assert nf == 256 + 5 % 250
+    assert _decode_one(b"\x00\x01garbage") == (
+        "unknown", 0, 0, 0, 0, "unsupported",
+    )
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
