@@ -42,37 +42,102 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_minhash_lsh_dedup")  # LSH bucketing is seed/impl-specific: rows-only
+# Banded MinHash layout: b bands of r rows. High r suppresses
+# mid-similarity collisions — the lever that keeps candidate counts
+# near-linear even on corpora where the MEDIAN pairwise Jaccard is
+# high (this synthetic corpus: median ~0.64). Collision probability
+# per pair is 1-(1-s^r)^b: at r=8,b=3 a median pair collides ~8% of
+# the time while a 0.95-similar true near-dup collides ~96%.
+_MINHASH_BANDS = 3
+_MINHASH_ROWS = 8
+
+
+@query("llm_minhash_lsh_dedup")  # banded candidate recall is probabilistic: rows-only
 def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: near-dup pairs via MinHashLSH over binarized token
-    vectors (Jaccard distance ≤ 0.05). The LSH bucket join replaces
-    the O(n²) pair space with candidate buckets — the standard
-    shape for corpus-scale near-dedup. Seeded; pair quality asserted
-    in unit tests against exact n-gram Jaccard.
+    """L2: near-dup pairs (exact Jaccard distance ≤ 0.05) via
+    hand-rolled banded MinHash LSH — the full 100 TB shape, no
+    corpus shard:
 
-    Input is a deterministic 2000-doc shard: this synthetic corpus
-    draws every doc from one tiny vocabulary, so ALL pairs are
-    Jaccard-similar and LSH candidate generation degenerates to
-    O(n²) (8.5M pairs / 400s at sf0.1 unsharded). Production
-    near-dedup runs exactly this query per shard/band partition."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+    1. one explode + single-shuffle groupBy computes all b×r
+       minhashes per doc (min of xxhash64(token, seed_i) — JVM-side,
+       no Python);
+    2. per band, docs self-join on the band key (xxhash64 of that
+       band's r signature rows) — candidates are generated inside
+       buckets only, never all-pairs;
+    3. the banded union is deduped and every candidate is verified
+       with EXACT Jaccard over token sets (array_intersect /
+       array_union, whole-stage codegen), so emitted distances are
+       exact and the only approximation is banding recall (~96% at
+       the 0.95-similarity threshold; recall asserted vs brute
+       force in tests). A signature-agreement pre-filter between
+       steps 2 and 3 was measured SLOWER here (token sets are small
+       enough that exact verify beats two extra signature joins),
+       so candidates go straight to exact verification.
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    toks = RegexTokenizer(
-        inputCol="text", outputCol="toks", pattern=r"\s+"
-    ).transform(docs)
-    cv = CountVectorizer(inputCol="toks", outputCol="tf", binary=True, minDF=1.0)
-    vecs = cv.fit(toks).transform(toks).select("doc_id", "tf")
-    lsh = MinHashLSH(inputCol="tf", outputCol="mh", numHashTables=5, seed=42)
-    model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.05, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+    Replaces MLlib approxSimilarityJoin, which degenerates to O(n²)
+    on this corpus (every pair is a candidate at its single-hash
+    bucket granularity: 8.5M pairs / 400 s at sf0.1; this plan:
+    ~32 s full-corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_sets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    sig = (
+        tok_sets.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}")
+                for i in range(k)
+            ]
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    sig = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * _MINHASH_ROWS + j}") for j in range(_MINHASH_ROWS)]
+            ).alias(f"band{b}")
+            for b in range(_MINHASH_BANDS)
+        ],
+    )
+    cand = None
+    for b in range(_MINHASH_BANDS):
+        left = sig.select(
+            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
+        )
+        right = sig.select(
+            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
+        )
+        pairs_b = (
+            left.join(right, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = pairs_b if cand is None else cand.union(pairs_b)
+    cand = cand.distinct()
+    a = tok_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    b_ = tok_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                1.0
+                - F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                4,
+            ).alias("jaccard_dist"),
+        )
+        .filter(F.col("jaccard_dist") <= 0.05)
+        .select("doc_a", "doc_b", "jaccard_dist")
     )
 
 

@@ -110,6 +110,47 @@ def test_minhash_pairs_are_plausible(spark, sf_dir):
         assert r["doc_a"] < r["doc_b"]
 
 
+def test_minhash_recall_vs_brute_force(spark, sf_dir):
+    """Banded-LSH candidates verified exactly — so precision is 1.0
+    by construction; recall vs the brute-force all-pairs answer is
+    the quantity to assert (expected ~1-(1-s^r)^b ≈ 0.96 at the
+    0.95-similarity threshold)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn(
+                "dist",
+                F.round(
+                    1.0
+                    - F.size(F.array_intersect("ta", "tb"))
+                    / F.size(F.array_union("ta", "tb")),
+                    4,
+                ),
+            )
+            .filter(F.col("dist") <= 0.05)
+            .collect()
+        )
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q("llm_minhash_lsh_dedup")(spark, sf_dir).collect()
+    }
+    assert got <= exact, "every emitted pair must be exactly verified"
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.85, f"banding recall too low: {recall}"
+
+
 def test_components_are_consistent(spark, sf_dir):
     labels = {
         r["doc_id"]: r["component"]
