@@ -37,6 +37,9 @@ HEADLINE = [
     "tpch_q3",              # multi-join composites
     "tpch_q6",
     "tpch_q18",
+    "tpch_q8",              # shuffle-heavy composites: 8-table join
+    "tpch_q9",              # 6-table join + part-LIKE filter
+    "tpch_q21",             # 4-way self-join with EXISTS/NOT EXISTS
     "sql_correlated_scalar",  # decorrelated subquery
 ]
 

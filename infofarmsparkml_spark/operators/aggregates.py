@@ -199,9 +199,27 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_stats_higher")  # Spark population skew/kurt ≠ DuckDB sample-adjusted
+@query(
+    "agg_stats_higher",
+    oracle="""
+WITH m AS (
+  SELECT l_linestatus, AVG(l_extendedprice) AS mu
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l.l_linestatus,
+  ROUND(AVG(POW(l_extendedprice - mu, 3))
+        / POW(AVG(POW(l_extendedprice - mu, 2)), 1.5), 4) AS skew_price,
+  ROUND(AVG(POW(l_extendedprice - mu, 4))
+        / POW(AVG(POW(l_extendedprice - mu, 2)), 2) - 3, 4) AS kurt_price
+FROM lineitem l JOIN m USING (l_linestatus)
+GROUP BY l.l_linestatus
+""",
+)
 def agg_stats_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5b: skewness/kurtosis (population formulas, Spark semantics)."""
+    """A5b: skewness/kurtosis. Spark uses POPULATION formulas
+    (m3/m2^1.5 and excess m4/m2²-3); DuckDB's built-ins are
+    sample-adjusted, so the oracle recomputes the population
+    moments two-pass (centered powers around the group mean —
+    numerically stable, no raw-moment cancellation)."""
     lf = load_table(spark, sf_dir, "lineitem")
     return lf.groupBy("l_linestatus").agg(
         r(F.skewness("l_extendedprice"), 4).alias("skew_price"),

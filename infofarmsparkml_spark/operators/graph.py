@@ -56,7 +56,36 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # float iteration order: rows-only + known-answer test
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """DuckDB twin of the power iteration: recursive CTEs can't
+    hold GROUP BY, but the iteration count is fixed, so unroll one
+    aggregate CTE per round. Rounding happens only at the end, like
+    the Spark side."""
+    parts = [
+        """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+pr0 AS (SELECT src, 1.0 AS rank FROM deg)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+pr{i} AS (
+  SELECT e.dst AS src, {1.0 - d} + {d} * SUM(p.rank / g.out_deg) AS rank
+  FROM edges e JOIN pr{i - 1} p ON e.src = p.src
+               JOIN deg g ON e.src = g.src
+  GROUP BY e.dst)"""
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT src AS part, ROUND(rank, 6) AS pagerank FROM pr{n_iter}"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 power iterations, damping 0.85) over the
     co-purchase graph, as pure DataFrame ops: contribution = join
