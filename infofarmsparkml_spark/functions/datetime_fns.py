@@ -64,10 +64,30 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_date_spark")  # Spark-specific semantics: no DuckDB twin
+@query(
+    "fn_date_spark",
+    oracle="""
+SELECT o_orderkey,
+       ROUND((2000 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+             + (1 - day(o_orderdate)) / 31.0, 8) AS months_to_y2k,
+       CAST(CAST(o_orderdate AS DATE)
+            + INTERVAL (8 - isodow(o_orderdate)) DAY AS TIMESTAMP)
+         AS next_monday,
+       CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS year_start
+FROM orders
+""",
+)
 def fn_date_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2b: months_between (fractional, 31-day convention) and
-    next_day — Spark-defined semantics; unit-tested on literals."""
+    next_day — Spark-defined semantics; unit-tested on literals.
+
+    The oracle inlines Spark's documented rules, which collapse to
+    closed form for this anchor: months_between(2000-01-01, d) =
+    Δmonths + (1 - day(d))/31 rounded to 8 digits (the anchor's
+    day-of-month is 1, so the same-day special case equals the
+    general formula, and fixture timestamps are all midnight → no
+    time fraction); next_day(d,'Mon') = d + (8 - isodow(d)) days.
+    """
     orders = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return orders.select(

@@ -12,6 +12,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     graph,
     joins,
     llm,
+    llm_curation,
     ml,
     multimodal,
     pipeline,

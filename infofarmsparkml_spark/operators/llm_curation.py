@@ -1,0 +1,284 @@
+"""Corpus-curation operators — the second wave of LLM-training-data
+ops beyond dedup/similarity (llm.py): within-document repetition
+scoring, benchmark-contamination screening, deterministic quota
+sampling, mixture rebalancing, prefix dedup and a unigram
+log-probability quality score.
+
+Common scale posture: everything is either map-only (per-document
+n-gram generation stays inside whole-stage codegen via
+``transform``/``explode``) or a single hash-aggregate; the one join
+(contamination) broadcasts the benchmark n-gram set, which is tiny
+by construction. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.registry import query
+
+
+def _word_ngrams(col: str, n: int):
+    """Array of space-joined word n-grams of ``col`` (a string
+    column), JVM-side. Empty array when the doc has < n words —
+    guarded because Spark's ``sequence(1, 0)`` counts DOWN."""
+    return F.when(
+        F.size(F.split(F.col(col), " ")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split({col}, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split({col}, ' '), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB twin of _word_ngrams: list_transform over range() — the
+# same shape as Spark's transform/sequence, so the two sides agree
+# on the n-gram multiset by construction.
+def _duck_ngrams(n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len(ws) - {n - 2}, 1)), "
+        f"i -> array_to_string(ws[i:i+{n - 1}], ' '))"
+    )
+
+
+@query(
+    "llm_repetition_score",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (SELECT doc_id, unnest({_duck_ngrams(3)}) AS tg FROM w)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT tg) / COUNT(*), 4) AS dup_ratio
+FROM tg GROUP BY doc_id
+""",
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of word trigrams that
+    are duplicates (1 - distinct/total). The standard boilerplate /
+    degenerate-generation filter in pretraining pipelines.
+
+    Scale: n-gram expansion happens inside codegen (transform over
+    the split array — no shuffle), then ONE hash-aggregate keyed by
+    doc_id, which is near-unique → no skew. At 100 TB this is a
+    map-heavy pass whose shuffle carries only (doc_id, counts).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", 3)).alias("tg")
+    )
+    return tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.countDistinct("tg").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("tg") / F.count(F.lit(1)), 4
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (SELECT doc_id, unnest({_duck_ngrams(8)}) AS g FROM w),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+       CAST(COUNT(b.g) AS BIGINT) AS n_hits,
+       COUNT(b.g) > 0 AS contaminated
+FROM corpus c LEFT JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+""",
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: count distinct 8-gram
+    overlaps between each corpus doc and a held-out benchmark set
+    (here: docs with doc_id % 97 == 0 stand in for the benchmark).
+    The standard pre-training decontamination pass (GPT-3 appendix C
+    uses 13-gram overlap; 8 fits this fixture's ~30-word docs).
+
+    Scale: the benchmark n-gram set is tiny (benchmarks are MBs, the
+    corpus is TBs) → broadcast hash join against it; corpus n-grams
+    are generated map-side and never shuffled. The only exchange is
+    the per-doc_id count aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", 8)).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    corpus = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    hits = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("hit").alias("n_hits"),
+        (F.count("hit") > 0).alias("contaminated"),
+    )
+
+
+@query(
+    "llm_quota_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents)
+SELECT doc_id, source, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 20
+""",
+)
+def llm_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sampling: keep the 20 docs per
+    source with the smallest md5(doc_id) — a salted-hash ordering
+    that is uniform-random in distribution yet reproducible across
+    engines and runs (no RNG seed to drift).
+
+    Scale: one hash-partition by source + per-partition top-k. With
+    few sources and huge partitions the window sort is the risk; the
+    production shape is rank-via-top-k-aggregate (approx threshold
+    on the hash prefix, then exact filter), which cuts the sort to
+    the quota size. At this fixture's cardinality the window is
+    optimal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= 20)
+    )
+
+
+@query(
+    "llm_mix_rebalance",
+    oracle="""
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source)
+SELECT lang, source, n_docs,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS actual_share,
+       ROUND((1.0 / COUNT(*) OVER ())
+             / (n_docs * 1.0 / SUM(n_docs) OVER ()), 6) AS weight
+FROM cell
+""",
+)
+def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: per (lang, source) cell, the sampling
+    weight that flattens the corpus to a uniform mix over observed
+    cells (weight = target_share / actual_share). This is the
+    domain-reweighting step of pipelines like DoReMi/Pile — the
+    weights then feed `sampleBy` or repetition factors.
+
+    Scale: one hash-aggregate down to the cell cardinality (tiny),
+    then window totals over that tiny frame — the expensive part
+    touches each row exactly once map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_all = W.partitionBy()
+    actual = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w_all)
+    return cell.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target / actual, 6).alias("weight"),
+    )
+
+
+@query(
+    "llm_prefix_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+           AS prefix_hash
+  FROM documents)
+SELECT prefix_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM w GROUP BY prefix_hash
+""",
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: collapse documents sharing their first 16
+    words (templated boilerplate, mirrored pages with different
+    tails). Cheaper than MinHash and catches a different duplicate
+    class than whole-content hashing.
+
+    Scale: identical shape to llm_exact_dedup — hash-groupBy on a
+    16-word digest with map-side partial aggregation; the digest is
+    computed in codegen (slice + md5), no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 16), " "
+    )
+    return docs.groupBy(F.md5(prefix).alias("prefix_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (
+  SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+tot AS (SELECT SUM(cnt) AS n FROM freq)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(f.cnt / tot.n)), 4) AS avg_logprob
+FROM tok t JOIN freq f ON t.w = f.w CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: average ln P(token)
+    under the corpus's own unigram distribution — the cheap
+    perplexity proxy used to rank documents for quality filtering
+    (low avg log-prob = rare-token gibberish).
+
+    Scale: two passes. Pass 1 builds the unigram table (hash-agg,
+    vocabulary-sized result — small even at 100 TB); pass 2
+    re-expands tokens map-side and broadcast-joins the frequency
+    table, aggregating per doc_id. The token explosion never
+    shuffles; only (doc_id, partial sums) do.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = freq.agg(F.sum("cnt").alias("n"))
+    scored = tok.join(F.broadcast(freq), "w").join(
+        F.broadcast(n_total)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("cnt") / F.col("n"))), 4
+        ).alias("avg_logprob"),
+    )

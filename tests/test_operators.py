@@ -265,3 +265,78 @@ def test_pagerank_known_answer_path_graph(spark):
         pr = new
     for n in deg:
         assert abs(got[n] - pr[n]) < 1e-9, (n, got[n], pr[n])
+
+
+def test_word_ngrams_exact_and_short_doc(spark):
+    from infofarmsparkml_spark.operators.llm_curation import _word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",)], "text string"
+    ).select(_word_ngrams("text", 3).alias("tg"))
+    rows = [r["tg"] for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # shorter than n → empty, not a down-count
+
+
+def test_repetition_score_invariants(spark, sf_dir):
+    rows = q("llm_repetition_score")(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_trigrams"]
+        assert r["n_trigrams"] == n_words[r["doc_id"]] - 2
+
+
+def test_contamination_screens_out_benchmark(spark, sf_dir):
+    rows = q("llm_contamination")(spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_id"] % 97 != 0  # benchmark docs never scored
+        assert r["contaminated"] == (r["n_hits"] > 0)
+
+
+def test_quota_sample_deterministic_and_bounded(spark, sf_dir):
+    a = q("llm_quota_sample")(spark, sf_dir).collect()
+    b = q("llm_quota_sample")(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r["source"], []).append(r["sample_rank"])
+    for src, ranks in per_source.items():
+        assert len(ranks) <= 20
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_mix_rebalance_flattens(spark, sf_dir):
+    rows = q("llm_mix_rebalance")(spark, sf_dir).collect()
+    assert abs(sum(r["actual_share"] for r in rows) - 1.0) < 1e-3
+    effective = [r["n_docs"] * r["weight"] for r in rows]
+    # weight * count is the target cell mass — uniform across cells
+    assert max(effective) / min(effective) < 1.01
+
+
+def test_prefix_dedup_partitions_corpus(spark, sf_dir):
+    rows = q("llm_prefix_dedup")(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    keepers = [r["keeper_doc_id"] for r in rows]
+    assert len(keepers) == len(set(keepers))
+
+
+def test_unigram_logprob_is_negative_and_counts_tokens(spark, sf_dir):
+    rows = q("llm_unigram_logprob")(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["avg_logprob"] < 0.0
+        assert r["n_tokens"] == n_words[r["doc_id"]]
