@@ -39,23 +39,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    truncate to a µs TimestampType — bit-identical to DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` for post-epoch data, so oracle SQL
-    must wrap ts the same way (verified in tests)."""
+    """events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces that
+    column varies by version/conf: with ``nanosAsLong`` honored it is
+    a BIGINT of ns-since-epoch; otherwise (current Spark 4.1.2, where
+    that legacy conf is a no-op) it arrives as a µs-truncated
+    TIMESTAMP_NTZ. Dispatch on the OBSERVED dtype rather than assuming
+    either — both paths land on the same µs TimestampType, bit-identical
+    to DuckDB's ``CAST(ts AS TIMESTAMP)`` for post-epoch data, so
+    oracle SQL wraps ts the same way (verified in tests)."""
     from pyspark.sql import functions as F
 
-    # Sessions built by session.get_spark declare this in the
-    # builder; the runtime set stays because external harnesses run
-    # these queries on their own vanilla sessions, where the read
-    # would otherwise fail with [PARQUET_TYPE_ILLEGAL]. Idempotent.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, NOT `/`: double division loses precision for
-    # ns-since-epoch values (~1.7e18 > 2^53) and rounds instead of
-    # truncating, drifting ±1µs from DuckDB's CAST.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integer `div`, NOT `/`: double division loses precision for
+        # ns-since-epoch values (~1.7e18 > 2^53) and rounds instead of
+        # truncating, drifting ±1µs from DuckDB's CAST.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp_ntz / timestamp: the read already truncated to µs;
+    # a plain cast aligns the type with the oracle's CAST.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

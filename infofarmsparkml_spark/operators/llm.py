@@ -875,24 +875,55 @@ FROM pref
 def llm_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign each document to a fixed
     token-budget training shard (concat-then-split-at-budget
-    semantics — shard = starting token offset div budget). One
-    shuffle on the stratum key for the prefix sum; doc_id order
-    makes the assignment deterministic. At 100 TB the running sum
-    per stratum is the scale risk (one partition per lang) — shard
-    further by hash(doc_id) ranges per stratum before the window."""
+    semantics — shard = starting token offset div budget); doc_id
+    order makes the assignment deterministic.
+
+    Scale: a classic two-level distributed prefix sum, so no task
+    ever sorts or scans a whole stratum. Documents are cut into
+    contiguous doc_id ranges (`_sub = doc_id div 4096`); level 1
+    windows the prefix sum inside each (lang, sub-range) — bounded
+    partitions; level 2 computes per-range totals (one tiny row per
+    range), prefix-sums THOSE to get each range's starting offset,
+    and joins the offsets back. At a billion docs per lang the heavy
+    window touches <=4096 rows per task and the offsets table is
+    ~250k rows — versus one single-task billion-row sort in the
+    naive `partitionBy(lang)` form. Results are identical."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / F.lit(4096)).cast("long").alias("_sub"),
     )
-    w = W.partitionBy("lang").orderBy("doc_id")
-    pref = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return pref.withColumn(
-        "shard_id",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048.0)).cast(
-            "long"
-        ),
+    w_local = W.partitionBy("lang", "_sub").orderBy("doc_id")
+    local = toks.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    totals = local.groupBy("lang", "_sub").agg(
+        F.sum("n_tokens").alias("_sub_total")
+    )
+    w_off = W.partitionBy("lang").orderBy("_sub")
+    offsets = totals.select(
+        "lang",
+        "_sub",
+        (
+            F.coalesce(
+                F.sum("_sub_total").over(
+                    w_off.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("_offset"),
+    )
+    pref = local.join(F.broadcast(offsets), ["lang", "_sub"]).withColumn(
+        "cum_tokens", F.col("_local_cum") + F.col("_offset")
+    )
+    return pref.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048.0)
+        ).cast("long").alias("shard_id"),
     )
 
 

@@ -144,25 +144,38 @@ def llm_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is uniform-random in distribution yet reproducible across
     engines and runs (no RNG seed to drift).
 
-    Scale: one hash-partition by source + per-partition top-k. With
-    few sources and huge partitions the window sort is the risk; the
-    production shape is rank-via-top-k-aggregate (approx threshold
-    on the hash prefix, then exact filter), which cuts the sort to
-    the quota size. At this fixture's cardinality the window is
-    optimal.
+    Scale: two-level top-k so no task ever sorts a whole source.
+    Level 1 salts each source into 64 sub-partitions and takes the
+    per-salt top-20 (each sub-sort sees ~1/64 of the source); level
+    2 re-ranks only the <=20*64 surviving candidates per source.
+    Because every global top-20 row is necessarily in its salt's
+    top-20, the result is identical to the single-window form, but
+    the heavy sort is sharded — a billion-doc source costs 64
+    bounded sorts plus one 1280-row sort instead of one
+    billion-row sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salted = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        key.alias("_k"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)).alias("_salt"),
     )
+    w_local = W.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    cand = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= 20)
+        .drop("_r", "_salt")
+    )
+    w_final = W.partitionBy("source").orderBy("_k", "doc_id")
     return (
-        docs.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.row_number().over(w).cast("long").alias("sample_rank"),
+        cand.withColumn(
+            "sample_rank", F.row_number().over(w_final).cast("long")
         )
         .where(F.col("sample_rank") <= 20)
+        .drop("_k")
     )
 
 
@@ -261,11 +274,14 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity proxy used to rank documents for quality filtering
     (low avg log-prob = rare-token gibberish).
 
-    Scale: two passes. Pass 1 builds the unigram table (hash-agg,
-    vocabulary-sized result — small even at 100 TB); pass 2
-    re-expands tokens map-side and broadcast-joins the frequency
-    table, aggregating per doc_id. The token explosion never
-    shuffles; only (doc_id, partial sums) do.
+    Scale: two passes. Pass 1 builds the unigram table (hash-agg
+    down to vocabulary cardinality); pass 2 re-expands tokens and
+    joins the frequency table. The frequency side carries NO
+    broadcast hint: an open-web 100 TB corpus has a multi-GB token
+    vocabulary, so the join strategy is left to AQE, which
+    broadcasts when the built table is actually small and falls
+    back to a shuffle join when it is not. Only the 1-row grand
+    total is hint-broadcast.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -273,9 +289,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     n_total = freq.agg(F.sum("cnt").alias("n"))
-    scored = tok.join(F.broadcast(freq), "w").join(
-        F.broadcast(n_total)
-    )
+    scored = tok.join(freq, "w").join(F.broadcast(n_total))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(

@@ -55,46 +55,42 @@ def _load_all_operator_modules() -> None:
     import infofarmsparkml_spark.streaming  # noqa: F401
 
 
-# External correctness harnesses check a fixed-size prefix of the
-# registry in iteration order. Round 1's prefix proved the agg /
-# filter / join / first-llm families; this slate fronts one
-# representative of every still-unproven family (windows, TPC-H
-# composites incl. the shuffle-heavy q8/q9/q21, scalar-fn packs,
-# UDFs, streaming, scan/sink, set ops, sorts, subqueries, remaining
-# llm text ops, ML) plus the three queries whose output shape was
-# fixed this round. Rotate per round until every query has been
-# externally proven; queries not listed keep registration order
-# after the slate.
+# External correctness harnesses check a fixed-size (50) prefix of
+# the registry in iteration order. Slate hygiene (VERDICT r2):
+# queries that FAILED or ERRED in round N go at the HEAD of round
+# N+1's slate, then queries the driver has never checked. Round 3:
+# (a) the 18 events-ts-fixed queries — every r2 FAIL/ERR plus every
+# events-touching query broken by the same root cause; (b) the 5
+# round-1 ERRs whose fixes the driver never re-saw; (c) the
+# never-checked corpus-curation + multimodal families, TPC-H
+# user-visible composites, and the ML family. Queries not listed
+# keep registration order after the slate.
 _PRIORITY: list[str] = [
-    # re-prove this round's output-shape fixes
-    "agg_collect", "fn_array", "fn_map",
-    # windows W1-W6
-    "win_ranking", "win_analytic", "win_frame_rows",
-    "win_frame_range", "win_topk_per_group", "win_percent",
-    # TPC-H composites: headliners + shuffle-heavy
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18",
-    "tpch_q9", "tpch_q21", "tpch_q8",
-    # scalar-function packs
-    "fn_string", "fn_date", "fn_math", "fn_cast_null",
-    "fn_explode", "fn_json", "fn_struct", "fn_hash",
-    # UDF surface
-    "udf_scalar_arrow", "udaf_grouped_agg", "udtf_grouped_map",
-    "udtf_python",
-    # streaming
+    # (a) events.ts fix re-proof: r2 ERR/FAIL + same-root-cause batch
+    "win_frame_range", "fn_json", "agg_pivot", "join_asof",
+    "etl_scd2", "fn_variant", "win_sessionize", "events_funnel",
+    "events_retention", "ml_recommend_als",
     "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_stateful_custom", "stream_join",
-    # scans / sinks / DPP
-    "scan_projected", "scan_partition_pruned", "join_dpp",
-    # set ops / sorts
-    "set_union_distinct", "set_intersect", "set_except",
-    "distinct_rows", "sort_multi", "limit_topk",
-    # SQL surface
-    "sql_correlated_scalar", "sql_recursive_cte",
-    # remaining llm text ops
-    "llm_simhash", "llm_fingerprint", "llm_text_stats",
-    "llm_lang_id",
-    # ML
-    "ml_tokenize_tf",
+    "stream_dedup", "stream_stateful_custom",
+    "stream_watermark_late", "stream_stream_join",
+    "stream_foreach_batch",
+    # (b) round-1 ERRs, fixed in r2, never driver-re-proven
+    "agg_approx_distinct", "agg_stats_higher",
+    "agg_percentile_approx", "graph_pagerank",
+    "llm_minhash_lsh_dedup",
+    # (c) never-checked: corpus curation
+    "llm_repetition_score", "llm_contamination", "llm_quota_sample",
+    "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
+    # never-checked: multimodal
+    "mm_binary_metadata", "mm_decode_wav_ppm",
+    # never-checked: TPC-H user-visible composites
+    "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q17",
+    # never-checked: ML family
+    "ml_tfidf", "ml_ngram_stopwords", "ml_word_count",
+    "ml_sentiment_lexicon", "ml_classify_lr", "ml_cluster_kmeans",
+    "ml_eval", "ml_scaler_pca", "ml_decision_tree",
+    "ml_random_forest", "ml_naive_bayes", "ml_linreg",
+    "ml_fpgrowth", "ml_word2vec", "ml_crossval",
 ]
 
 

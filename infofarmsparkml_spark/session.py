@@ -44,10 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # events.ts is parquet TIMESTAMP(NANOS); Spark 4 rejects it
-        # unless read as raw nanos (catalog._load_events truncates to
-        # µs). Declared here so behavior never depends on which table
-        # was loaded first in sessions we build.
+        # events.ts is parquet TIMESTAMP(NANOS). Some Spark versions
+        # honor this conf (→ BIGINT ns), others ignore it (4.1.2 →
+        # µs TIMESTAMP_NTZ); catalog._load_events dispatches on the
+        # OBSERVED dtype so either works. Kept for older environments.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

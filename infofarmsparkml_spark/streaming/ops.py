@@ -23,28 +23,45 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from infofarmsparkml_spark.registry import query
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns-as-long (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture: ns-long ts → µs
-    TimestampType, same truncation as the batch catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events fixture, normalized to a µs
+    TimestampType identically to the batch catalog.
+
+    events.ts is parquet TIMESTAMP(NANOS); whether Spark surfaces it
+    as BIGINT-of-ns (``nanosAsLong`` honored) or as a µs-truncated
+    TIMESTAMP_NTZ (current Spark 4.1.2, where that conf is a no-op)
+    varies by environment. Probe the BATCH read once — a readStream
+    schema must match what the source actually yields, and declaring
+    LongType when the reader produces µs silently compresses every
+    timestamp 1000× — then declare the streaming schema to match and
+    branch on the observed dtype."""
+    probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    if probed == "bigint":
+        raw = (
+            spark.readStream.schema(_events_raw_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -164,3 +164,37 @@ def test_join_dpp_prunes_partitions_dynamically(spark, sf_dir):
     # pruning subquery on the fact scan
     plan = explain_str(q("join_dpp")(spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_doc_pack_window_is_sharded(spark, sf_dir):
+    # the heavy prefix-sum window must partition by (lang, _sub),
+    # never by lang alone — a lang-only hashpartitioning of the
+    # documents table is the single-task-per-stratum bottleneck
+    plan = explain_str(q("llm_doc_pack")(spark, sf_dir), "simple")
+    assert "hashpartitioning(lang" in plan, plan[:3000]
+    assert "_sub" in plan.split("hashpartitioning(lang", 1)[1][:80], plan[:3000]
+
+
+def test_quota_sample_window_is_sharded(spark, sf_dir):
+    # level-1 top-k must partition by (source, _salt); the only
+    # source-only window runs over the <=20*64-row candidate set.
+    # Plans print top-down, so the (source, _salt) exchange is the
+    # one CLOSEST to the scan (last occurrence).
+    import re
+
+    plan = explain_str(q("llm_quota_sample")(spark, sf_dir), "simple")
+    parts = re.findall(r"hashpartitioning\(source[^)]*", plan)
+    assert parts and any("_salt" in p for p in parts), plan[:3000]
+    # and the salted exchange must sit below the source-only one
+    assert "_salt" in parts[-1], parts
+
+
+def test_unigram_logprob_no_vocab_broadcast_hint(spark, sf_dir):
+    # the frequency-table join must not hard-code a broadcast of an
+    # unbounded-cardinality side; AQE decides at runtime. The plan is
+    # allowed to SHOW a broadcast (AQE picked it for the small
+    # fixture) but the logical plan must carry no user hint on freq.
+    df = q("llm_unigram_logprob")(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    # exactly one user hint remains: the 1-row grand-total broadcast
+    assert logical.count("UnresolvedHint") <= 1, logical[:3000]

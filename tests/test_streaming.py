@@ -117,3 +117,31 @@ def test_session_windows_respect_gap(spark, sf_dir):
         sessions.sort()
         for (s1, e1), (s2, e2) in zip(sessions, sessions[1:]):
             assert s2 >= e1, f"user {user}: overlapping sessions"
+
+
+def test_events_ts_sane_in_both_read_paths(spark, sf_dir):
+    """Regression guard for the events.ts environment drift (VERDICT r2):
+    whether parquet TIMESTAMP(NANOS) arrives as BIGINT-ns or µs
+    TIMESTAMP_NTZ, both the batch catalog and the streaming reader
+    must yield a timestamp type whose values land in 2024 — a 1970s
+    min(ts) means a silent unit error (µs divided as if ns)."""
+    import datetime
+
+    from infofarmsparkml_spark.streaming.ops import read_events_stream, run_to_memory
+
+    lo = datetime.datetime(2023, 1, 1)
+    hi = datetime.datetime(2026, 1, 1)
+
+    batch = load_table(spark, sf_dir, "events")
+    assert batch.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
+    bmin = batch.agg(F.min("ts")).collect()[0][0]
+    assert lo < bmin < hi, f"batch min(ts)={bmin} outside sane range"
+
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
+    out = run_to_memory(
+        stream.groupBy().agg(F.min("ts").alias("mn")), "ts_sanity_probe", "complete"
+    )
+    smin = out.collect()[0]["mn"]
+    assert lo < smin < hi, f"stream min(ts)={smin} outside sane range"
+    assert smin == bmin, "batch and stream reads disagree on min(ts)"
