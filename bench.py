@@ -62,21 +62,27 @@ def main() -> None:
     spark = get_spark(app_name="infofarmsparkml-bench")
     qs = registry.queries()
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        times[name] = round(bench_query(qs[name], spark, sf_dir), 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        # One broken query must cost ONLY its own row, never the
+        # whole bench (round 2 lost every number to one error).
+        try:
+            times[name] = round(bench_query(qs[name], spark, sf_dir), 3)
+            print(f"# {name}: {times[name]}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -14,7 +14,13 @@ batch-SQL equivalent → rows-only + dedicated unit tests.
 At production scale the same plans run unchanged against Kafka with
 processing-time triggers; the state store (window/session/dedup
 state) lives on executors keyed by the group keys, so scaling is
-governed by key cardinality, not stream length.
+governed by key cardinality, not stream length. One deliberate
+divergence from production: ``complete`` output mode retains every
+window ever seen, which on an unbounded stream grows state forever —
+the production form is ``append`` + watermark (state evicted once
+the watermark passes a window), as demonstrated by
+``stream_watermark_late``; ``complete`` is used here because the
+oracle contract needs the deterministic full result in one batch.
 """
 
 from __future__ import annotations
