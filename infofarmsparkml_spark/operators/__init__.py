@@ -20,6 +20,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     setops,
     sorts,
     subqueries,
+    timeseries,
     tpch,
     udfs,
     windows,

@@ -113,3 +113,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("src").alias("part"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+       JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count on the co-purchase graph
+    (compact-forward / Schank–Wagner): direct every undirected edge
+    from the lower-(degree, id) endpoint to the higher, enumerate
+    length-2 paths along that orientation, and close them against
+    the directed edge set. Each triangle is found exactly once under
+    ANY total order, so the id-ordered DuckDB oracle counts the same
+    triangles; degree-ordering is what scales — a hub of degree d
+    contributes O(d) forward edges instead of O(d²) path pairs,
+    keeping the path-join near-linear on power-law graphs. Two
+    shuffles (path join + closure join) plus the corner aggregate."""
+    und = (
+        _copurchase_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
+            "v",
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    fwd = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    e1 = fwd.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = fwd.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = fwd.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy(F.col("node").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

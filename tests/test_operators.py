@@ -340,3 +340,65 @@ def test_unigram_logprob_is_negative_and_counts_tokens(spark, sf_dir):
     for r in rows:
         assert r["avg_logprob"] < 0.0
         assert r["n_tokens"] == n_words[r["doc_id"]]
+
+
+def test_gap_fill_locf_dense_and_carries(spark, sf_dir):
+    rows = q("ts_gap_fill_locf")(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, series in by_user.items():
+        series.sort(key=lambda r: r["hour"])
+        # dense: consecutive hours, no holes
+        hours = [r["hour"] for r in series]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        ), f"user {user} spine has holes"
+        # endpoints observed by construction; gaps carry the last value
+        assert series[0]["observed"] and series[-1]["observed"]
+        last = None
+        for r in series:
+            if r["observed"]:
+                last = r["v_filled"]
+            else:
+                assert r["v_filled"] == last, f"user {user} broke LOCF"
+
+
+def test_ohlc_bounds_and_bar_count(spark, sf_dir):
+    rows = q("ts_resample_ohlc")(spark, sf_dir).collect()
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        if r["n"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+    ev = load_table(spark, sf_dir, "events")
+    n_bars = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct().count()
+    assert len(rows) == n_bars
+
+
+def test_triangles_symmetric_check(spark, sf_dir):
+    # total triangle incidences divide by 3, and a brute-force count
+    # on a small node sample agrees
+    rows = q("graph_triangles")(spark, sf_dir).collect()
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0 and total > 0
+    from infofarmsparkml_spark.operators.graph import _copurchase_edges
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    got = {r["part"]: r["n_triangles"] for r in rows}
+    for node in list(sorted(adj))[:5]:
+        brute = sum(
+            1
+            for b in adj[node]
+            for c in adj[node]
+            if b < c and (b, c) in edges
+        )
+        assert got.get(node, 0) == brute, f"node {node}"

@@ -145,3 +145,47 @@ def test_events_ts_sane_in_both_read_paths(spark, sf_dir):
     smin = out.collect()[0]["mn"]
     assert lo < smin < hi, f"stream min(ts)={smin} outside sane range"
     assert smin == bmin, "batch and stream reads disagree on min(ts)"
+
+
+def test_events_loader_bigint_branch(spark, sf_dir):
+    """Cover the BIGINT-ns branch of the dtype dispatch explicitly:
+    environments where nanosAsLong IS honored hand _load_events a
+    bigint column, and its `div 1000` path must agree with what the
+    native read of the same data produces."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from infofarmsparkml_spark.catalog import _load_events
+
+    native = load_table(spark, sf_dir, "events")
+    expected = sorted(
+        (r["event_id"], r["ts"]) for r in native.select("event_id", "ts").collect()
+    )
+    # rebuild the same rows with ts as raw int64 nanoseconds
+    rows = native.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["us"] * 1000 for r in rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows], pa.string()),
+        }
+    )
+    d = scratch_dir("events_bigint_branch", sf_dir)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    loaded = _load_events(spark, d)
+    assert loaded.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted(
+        (r["event_id"], r["ts"]) for r in loaded.select("event_id", "ts").collect()
+    )
+    assert got == expected
