@@ -553,3 +553,38 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
     )
+
+
+@query("agg_hll_sketch_union")  # Datasketches HLL binary — no SQL twin: rows-only
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL):
+    build one HLL sketch of l_partkey per return flag, then UNION
+    the per-group sketches into a corpus-wide estimate — all without
+    re-touching the data. This is THE 100 TB pattern for distinct
+    counts: sketches are tiny (KB), associative, and partial-
+    aggregable, so per-partition sketches combine map-side, per-day
+    sketches roll up to monthly, and a global count never needs a
+    global shuffle of raw values. Deterministic for fixed input (no
+    RNG — hash-based), but no engine-independent SQL twin exists, so
+    the oracle is the tolerance test in tests/test_operators.py
+    (estimates within 5% of exact, union consistent with parts)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    per = lf.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count_distinct("l_partkey").alias("exact_distinct_parts"),
+    )
+    groups = per.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("approx_distinct_parts"),
+        "exact_distinct_parts",
+    )
+    overall = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_distinct_parts"
+        )
+    ).select(
+        F.lit("ALL").alias("l_returnflag"),
+        "approx_distinct_parts",
+        F.lit(None).cast("long").alias("exact_distinct_parts"),
+    )
+    return groups.unionByName(overall)

@@ -295,3 +295,58 @@ def bucketed_join_plan_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("ifsml_li_bucketed")
     od = spark.table("ifsml_od_bucketed")
     return li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+
+
+def zvalue(col_a, col_b, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns
+    (bit i of a → bit 2i, bit i of b → bit 2i+1). Built from plain
+    shift/and/sum expressions so the whole thing stays inside
+    whole-stage codegen — no UDF."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(
+                F.shiftrightunsigned(b.cast("long"), i) % 2, 2 * i + 1
+            )
+        )
+    return z
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+""",
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink: range-partition + sort lineitem by
+    the Morton interleave of (l_partkey, l_suppkey), so each output
+    file covers a small RECTANGLE of the 2D key space rather than a
+    full stripe. A reader filtering on either key (or both) then
+    prunes most files from parquet min/max footer stats alone —
+    the data-layout half of multi-dimensional pruning that
+    partitionBy can't give (it handles one dimension; Z-order
+    handles several with one sort). The write is one
+    repartitionByRange shuffle on the z-value (sampled range
+    boundaries — no single reducer) + an in-partition sort.
+    Returned frame is the re-read content; the oracle proves the
+    round trip lossless. File-bound tightness is asserted in
+    tests/test_plans.py from the parquet footers."""
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = scratch_dir("lineitem_zorder", sf_dir)
+    (
+        lf.withColumn("z", zvalue("l_partkey", "l_suppkey"))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

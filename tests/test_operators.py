@@ -402,3 +402,18 @@ def test_triangles_symmetric_check(spark, sf_dir):
             if b < c and (b, c) in edges
         )
         assert got.get(node, 0) == brute, f"node {node}"
+
+
+def test_hll_sketch_union_tolerance(spark, sf_dir):
+    rows = q("agg_hll_sketch_union")(spark, sf_dir).collect()
+    lf = load_table(spark, sf_dir, "lineitem")
+    exact_all = lf.select("l_partkey").distinct().count()
+    for r in rows:
+        if r["l_returnflag"] == "ALL":
+            assert abs(r["approx_distinct_parts"] - exact_all) / exact_all < 0.05
+        else:
+            assert (
+                abs(r["approx_distinct_parts"] - r["exact_distinct_parts"])
+                / r["exact_distinct_parts"]
+                < 0.05
+            )

@@ -198,3 +198,55 @@ def test_unigram_logprob_no_vocab_broadcast_hint(spark, sf_dir):
     logical = df._jdf.queryExecution().logical().toString()
     # exactly one user hint remains: the 1-row grand-total broadcast
     assert logical.count("UnresolvedHint") <= 1, logical[:3000]
+
+
+def test_zorder_files_are_tighter_than_linear(spark, sf_dir):
+    """The point of the Z-order sink: each file's (l_partkey,
+    l_suppkey) min/max bounding box must cover a smaller fraction of
+    the 2D key domain than an orderkey-sorted linear layout's, so
+    footer-stats pruning works on BOTH dims."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from infofarmsparkml_spark.operators._util import load_table, scratch_dir
+
+    q("sink_zorder")(spark, sf_dir).collect()  # writes the z layout
+    lin = scratch_dir("lineitem_linear_base", sf_dir)
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    (
+        lf.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lin)
+    )
+
+    def mean_box_area(d):
+        stats = []
+        for f in _glob.glob(f"{d}/*.parquet"):
+            md = _pq.ParquetFile(f).metadata
+            pmin = pmax = smin = smax = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "l_partkey":
+                        pmin = st.min if pmin is None else min(pmin, st.min)
+                        pmax = st.max if pmax is None else max(pmax, st.max)
+                    elif name == "l_suppkey":
+                        smin = st.min if smin is None else min(smin, st.min)
+                        smax = st.max if smax is None else max(smax, st.max)
+            if pmin is not None and smin is not None:
+                stats.append((pmax - pmin + 1, smax - smin + 1))
+        assert stats, f"no footer stats under {d}"
+        return sum(p * s for p, s in stats) / len(stats)
+
+    zdir = scratch_dir("lineitem_zorder", sf_dir)
+    z_area, lin_area = mean_box_area(zdir), mean_box_area(lin)
+    assert z_area < lin_area * 0.6, (z_area, lin_area)
