@@ -625,3 +625,130 @@ def ml_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prediction").cast("int").alias("predicted"),
         )
     )
+
+
+@query("ml_svm_linear")  # hinge-loss iterative training: rows-only
+def ml_svm_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear SVM (hinge loss) on embeddings, label binarized to
+    {0,1} on label>=5 — the pyspark.ml successor of MLlib's
+    SVMWithSGD, an era-staple binary classifier. Training is the
+    usual distributed gradient aggregation (treeAggregate per
+    iteration); scoring is a map-only projection."""
+    from pyspark.ml.classification import LinearSVC
+
+    data = _embedding_features(spark, sf_dir).withColumn(
+        "bin_label", (F.col("label") >= 5).cast("double")
+    )
+    svc = LinearSVC(
+        featuresCol="features", labelCol="bin_label", maxIter=20, regParam=0.05
+    )
+    model = svc.fit(data)
+    return model.transform(data).select(
+        "vec_id",
+        F.col("bin_label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("predicted"),
+    )
+
+
+@query("ml_cluster_gmm")  # EM with random init: rows-only (seeded)
+def ml_cluster_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian mixture (k=4, seed=42) over embeddings — soft
+    clustering via distributed EM; each iteration is one aggregate
+    of per-point responsibilities. Fitting runs on an 8-dim PCA
+    projection: a full 64×64 covariance per component is both
+    statistically underdetermined at modest cluster sizes and
+    numerically fragile (breeze's eigSym rejects the
+    near-asymmetric matrix), while PCA→GMM is the standard
+    dimensionality-then-density pipeline. Emits the hard assignment
+    plus the max posterior, rounded for stability."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+
+    data = _embedding_features(spark, sf_dir)
+    pca = PCA(k=8, inputCol="features", outputCol="pca8")
+    proj = pca.fit(data).transform(data)
+    gmm = GaussianMixture(featuresCol="pca8", k=4, seed=42, maxIter=25)
+    out = gmm.fit(proj).transform(proj)
+    return out.select(
+        "vec_id",
+        F.col("prediction").alias("cluster"),
+        F.round(F.array_max(vector_to_array(F.col("probability"))), 2).alias(
+            "max_posterior"
+        ),
+    )
+
+
+@query("ml_cluster_bisecting")  # divisive hierarchy, seeded: rows-only
+def ml_cluster_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisecting k-means (k=5, seed=42): top-down divisive
+    clustering — repeatedly splits the largest cluster with a local
+    2-means. Hierarchical structure at scale without all-pairs
+    linkage (agglomerative is O(n²); this stays O(n·k·iter))."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    data = _embedding_features(spark, sf_dir)
+    bkm = BisectingKMeans(featuresCol="features", k=5, seed=42, maxIter=20)
+    return (
+        bkm.fit(data)
+        .transform(data)
+        .select("vec_id", F.col("prediction").alias("cluster"))
+    )
+
+
+@query("ml_topic_lda")  # variational EM, seeded: rows-only
+def ml_topic_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic model (k=4 topics, seed=42) over the CountVectorizer
+    term-frequency vectors — the classic MLlib-era corpus-exploration
+    workload. Online variational inference processes the corpus in
+    mini-batches (each a distributed aggregate); emits each doc's
+    dominant topic and its weight."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.functions import vector_to_array
+
+    tf = _tokens_and_tf(spark, sf_dir)
+    lda = LDA(featuresCol="tf", k=4, seed=42, maxIter=15)
+    out = lda.fit(tf).transform(tf)
+    witharr = out.withColumn(
+        "ta", vector_to_array(F.col("topicDistribution"))
+    )
+    return witharr.select(
+        "doc_id",
+        (F.expr("array_position(ta, array_max(ta))") - 1)
+        .cast("int")
+        .alias("top_topic"),
+        F.round(F.array_max(F.col("ta")), 2).alias("topic_weight"),
+    )
+
+
+@query(
+    "ml_isotonic",
+    oracle=None,  # PAV pool boundaries are solver-defined: rows-only
+)
+def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of l_extendedprice on l_quantity —
+    monotone calibration (the pool-adjacent-violators shape used to
+    calibrate model scores into probabilities). MLlib parallelizes
+    PAV per partition then merges pools on the driver; predictions
+    are piecewise-linear, monotone by construction (unit-tested)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    va = VectorAssembler(inputCols=["qty"], outputCol="features")
+    data = va.transform(lf)
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="price", isotonic=True
+    )
+    model = iso.fit(data)
+    return model.transform(data).select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        F.round(F.col("prediction"), 4).alias("calibrated_price"),
+    )

@@ -209,3 +209,40 @@ def test_crossval_picks_weaker_regularization(spark, sf_dir):
             q("ml_crossval")(spark, sf_dir).collect()}
     assert set(rows) == {0.01, 0.5}
     assert rows[0.01] >= rows[0.5]
+
+
+def test_svm_linear_beats_chance(spark, sf_dir):
+    rows = q("ml_svm_linear")(spark, sf_dir).collect()
+    acc = sum(r["label"] == r["predicted"] for r in rows) / len(rows)
+    assert acc > 0.6, f"SVM accuracy {acc} no better than chance"
+
+
+def test_gmm_posteriors_and_k(spark, sf_dir):
+    rows = q("ml_cluster_gmm")(spark, sf_dir).collect()
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(4)) and len(clusters) >= 2
+    for r in rows:
+        assert 0.25 <= r["max_posterior"] <= 1.0  # >= 1/k by definition
+
+
+def test_bisecting_kmeans_partitions_all(spark, sf_dir):
+    rows = q("ml_cluster_bisecting")(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert {r["cluster"] for r in rows} <= set(range(5))
+
+
+def test_lda_topics_valid(spark, sf_dir):
+    rows = q("ml_topic_lda")(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert {r["top_topic"] for r in rows} <= set(range(4))
+    for r in rows:
+        assert r["topic_weight"] >= 0.25 - 1e-9  # max of 4 weights >= 1/4
+
+
+def test_isotonic_prediction_is_monotone(spark, sf_dir):
+    rows = q("ml_isotonic")(spark, sf_dir).collect()
+    by_qty = sorted(rows, key=lambda r: r["qty"])
+    preds = [r["calibrated_price"] for r in by_qty]
+    assert all(a <= b + 1e-9 for a, b in zip(preds, preds[1:])), (
+        "isotonic fit is not monotone"
+    )
