@@ -296,3 +296,49 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(F.col("cnt") / F.col("n"))), 4
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, source, lang,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h
+  FROM documents),
+existing AS (SELECT h FROM hashed WHERE doc_id % 3 <> 0),
+incoming AS (
+  SELECT doc_id, source, lang, h FROM hashed WHERE doc_id % 3 = 0)
+SELECT i.doc_id, i.source, i.lang
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+""",
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot (incremental) dedup: admit only the
+    incoming-batch documents whose fingerprint does not already
+    exist in the accumulated corpus — the shape every continuously-
+    crawled training set runs daily, where re-scanning the full
+    corpus per batch is not an option. The fingerprint is the md5
+    of the first-5-word prefix (the fixture has no byte-identical
+    texts, but prefix collisions exist — same keying as
+    `llm_prefix_dedup`); the fixture splits documents by doc_id
+    residue into 'existing' (2/3) and 'incoming' (1/3).
+
+    Scale: fingerprint once per side, LEFT ANTI join on the 128-bit
+    digest. The anti-join hash-partitions on the digest — uniformly
+    distributed by construction, so no skew — and the incoming side
+    is the small one, which AQE broadcasts when it fits. In
+    production the existing side is the persisted fingerprint index
+    (one column of a manifest table), not the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn(
+        "h",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))),
+    )
+    existing = hashed.filter(F.col("doc_id") % 3 != 0).select("h")
+    incoming = hashed.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", "lang", "h"
+    )
+    return incoming.join(existing, "h", "left_anti").select(
+        "doc_id", "source", "lang"
+    )

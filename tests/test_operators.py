@@ -417,3 +417,48 @@ def test_hll_sketch_union_tolerance(spark, sf_dir):
                 / r["exact_distinct_parts"]
                 < 0.05
             )
+
+
+def test_zvalue_interleave_roundtrip(spark, sf_dir):
+    """The Morton key must be a bijection: de-interleaving z gives
+    back exactly (a, b) for every pair — checked for the full key
+    domain actually used by sink_zorder."""
+    from infofarmsparkml_spark.operators.scans import zvalue
+
+    lf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn("z", zvalue("l_partkey", "l_suppkey"))
+    )
+    back_a = sum(
+        (F.shiftrightunsigned(F.col("z"), 2 * i) % 2 * (1 << i))
+        for i in range(16)
+    )
+    back_b = sum(
+        (F.shiftrightunsigned(F.col("z"), 2 * i + 1) % 2 * (1 << i))
+        for i in range(16)
+    )
+    bad = lf.where(
+        (back_a != F.col("l_partkey")) | (back_b != F.col("l_suppkey"))
+    ).count()
+    assert bad == 0
+    # and distinct pairs -> distinct z
+    assert lf.select("z").distinct().count() == lf.count()
+
+
+def test_incremental_dedup_admits_only_new_fingerprints(spark, sf_dir):
+    admitted = {
+        r["doc_id"] for r in q("llm_incremental_dedup")(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+        ).alias("h"),
+    ).collect()
+    existing = {r["h"] for r in fp if r["doc_id"] % 3 != 0}
+    for r in fp:
+        if r["doc_id"] % 3 == 0:
+            assert (r["doc_id"] in admitted) == (r["h"] not in existing)
