@@ -7,10 +7,9 @@ Scale posture: both operators shuffle once on the series key
 (user_id). The gap-fill spine is generated per key from that key's
 own [min, max] hour range (`sequence` + `explode`), so spine size is
 bounded by each series' span — never a global calendar cross join.
-LOCF uses the count-of-observed "fill group" trick (a running count
-of non-null observations assigns every missing row to its most
-recent observed row) — two windows over the same (user_id, hour)
-sort, one shuffle, no self-join. OHLC is a single hash aggregate
+LOCF is `last(ignorenulls)` over one running frame — a single window
+on a single user_id exchange, no self-join (the DuckDB oracle uses
+the portable fill-group formulation). OHLC is a single hash aggregate
 with min_by/max_by over a zero-padded (ts, event_id) string key, so
 first/last are deterministic under ties and identical to the
 DuckDB oracle's arg_min/arg_max on the same key.
@@ -48,10 +47,12 @@ FROM joined
 def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify each user's hourly value series over its own
     [first, last] hour and fill silent hours by carrying the last
-    observed value forward. The fill works without ignore-nulls
-    support: a running count of observed rows is constant across a
-    run of missing hours, so MAX(v) per (user, count) group IS the
-    carried value — pure windows, engine-portable."""
+    observed value forward. Spark side: ``last(v, ignorenulls)``
+    over one running frame — ONE exchange on user_id serves spine
+    join and fill. DuckDB lacks ignore-nulls there, so the oracle
+    uses the equivalent fill-group trick (a running count of
+    observed rows is constant across a run of missing hours, so
+    MAX per (user, count) group is the carried value)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -69,12 +70,11 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = W.partitionBy("user_id").orderBy("h").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    grouped = joined.withColumn("grp", F.count("v").over(run))
-    return grouped.select(
+    return joined.select(
         "user_id",
         F.col("h").alias("hour"),
         F.col("v").isNotNull().alias("observed"),
-        F.max("v").over(W.partitionBy("user_id", "grp")).alias("v_filled"),
+        F.last("v", ignorenulls=True).over(run).alias("v_filled"),
     )
 
 
