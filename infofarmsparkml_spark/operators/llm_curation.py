@@ -342,3 +342,85 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(existing, "h", "left_anti").select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "llm_curation_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         string_split(text, ' ') AS ws
+  FROM documents WHERE lang = 'en'),
+scored AS (
+  SELECT doc_id, source, lang,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         1.0 - len(list_distinct({_duck_ngrams(3)}))
+             / greatest(len({_duck_ngrams(3)}), 1) AS dup_ratio,
+         md5(array_to_string(ws[1:5], ' ')) AS prefix_h
+  FROM base),
+quality AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND dup_ratio <= 0.2),
+deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix_h ORDER BY doc_id)
+            AS dup_rank
+  FROM quality),
+sampled AS (
+  SELECT doc_id, source, lang, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM deduped WHERE dup_rank = 1)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM sampled WHERE sample_rank <= 50
+""",
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composite — the integration query
+    a training-data pipeline actually ships, chaining the verified
+    stages: language filter → quality gate (length + trigram
+    repetition) → prefix dedup (keep lowest doc_id per fingerprint)
+    → deterministic per-source quota sample. One registered query
+    so the whole chain is hash-verified end to end, not just each
+    stage in isolation.
+
+    Scale: the filters and scores are map-only (the trigram dup
+    ratio uses array_distinct on the in-row n-gram array — no
+    explode, no shuffle); dedup is one window on the 128-bit prefix
+    hash (uniform, skew-free); the quota sample is the final window
+    over the already-reduced survivor set. Three shuffles total on a
+    corpus-sized input, each on a well-distributed key."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    tg = _word_ngrams("text", 3)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (
+            1.0
+            - F.size(F.array_distinct(tg))
+            / F.greatest(F.size(tg), F.lit(1))
+        ).alias("dup_ratio"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+        ).alias("prefix_h"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 20) & (F.col("dup_ratio") <= 0.2)
+    )
+    w_dup = W.partitionBy("prefix_h").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("dup_rank", F.row_number().over(w_dup))
+        .filter(F.col("dup_rank") == 1)
+    )
+    w_q = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        deduped.select("doc_id", "source", "lang", "n_tokens")
+        .withColumn("sample_rank", F.row_number().over(w_q).cast("long"))
+        .filter(F.col("sample_rank") <= 50)
+    )

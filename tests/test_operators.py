@@ -462,3 +462,21 @@ def test_incremental_dedup_admits_only_new_fingerprints(spark, sf_dir):
     for r in fp:
         if r["doc_id"] % 3 == 0:
             assert (r["doc_id"] in admitted) == (r["h"] not in existing)
+
+
+def test_curation_pipeline_stages_consistent(spark, sf_dir):
+    rows = q("llm_curation_pipeline")(spark, sf_dir).collect()
+    assert rows, "pipeline produced no survivors"
+    docs = {
+        r["doc_id"]: r
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    per_source = {}
+    for r in rows:
+        assert r["lang"] == "en"
+        assert r["n_tokens"] >= 20
+        assert len(docs[r["doc_id"]]["text"].split(" ")) == r["n_tokens"]
+        per_source.setdefault(r["source"], []).append(r["sample_rank"])
+    for source, ranks in per_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert max(ranks) <= 50
