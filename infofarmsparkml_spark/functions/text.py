@@ -117,3 +117,55 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg
         """
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/' ||
+         CAST(doc_id AS VARCHAR) || '?q=' || lang || '&page=' ||
+         CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing pack — host/path/query/named-param extraction
+    with `parse_url` (Hive-compatible, JVM-side), over URLs built
+    deterministically from document attributes (the fixture carries
+    no URL column). The curation relevance: URL canonicalization and
+    per-host quotas are standard crawl-corpus steps, and all four
+    extractions stay in whole-stage codegen. The DuckDB twin uses
+    explicit regexes that pin down the exact semantics parse_url
+    must reproduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias(
+            "page_param"
+        ),
+    )

@@ -9,7 +9,7 @@ summation order is engine- and partitioning-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from infofarmsparkml_spark.operators._util import (
     load_table,
@@ -588,3 +588,42 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct_parts"),
     )
     return groups.unionByName(overall)
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority, YEAR(o_orderdate) AS y, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT y, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY y ORDER BY n DESC, o_orderpriority)
+           AS rk
+  FROM c)
+SELECT CAST(y AS BIGINT) AS o_year, o_orderpriority AS mode_priority,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group (most frequent
+    order priority per order year). Built as count-then-argmax with
+    an explicit value tiebreak rather than the engines' native
+    `mode()` (both Spark and DuckDB leave ties implementation-
+    defined — a hash gate cannot tolerate that). Two partial-
+    aggregable hash aggregates over tiny keyspaces; the window runs
+    on the #years × #priorities frame, not the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("o_year").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_year", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
