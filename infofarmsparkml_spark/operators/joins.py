@@ -289,35 +289,50 @@ SELECT purchase_id, purchase_ts, click_id, click_ts FROM j WHERE rn = 1
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: as-of join — for each purchase, the latest click by the
-    same user at-or-before it. Spark has no native asof; the
-    distributed pattern is range-join + window pick-latest,
-    partitioned by the entity key (user/purchase), which scales
-    as long as per-entity history fits a partition — skewed users
-    are split by AQE."""
+    same user at-or-before it. Spark has no native asof; the LINEAR
+    distributed formulation is union-sort + forward-fill: tag both
+    event kinds, sort each user's merged timeline once (clicks
+    ordered before purchases at equal ts, so ties count as 'at or
+    before'), carry the last-seen click forward with
+    last(ignorenulls), and keep the purchase rows. ONE shuffle on
+    user_id and O(events) work — no per-user purchases×clicks pair
+    expansion like the naive range-join + pick-latest shape, which
+    goes quadratic on heavy users at 100 TB. The inner-asof
+    semantics (purchases with no prior click drop out) fall out of
+    the null filter."""
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
+    tagged = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
+    # clicks (kind 0) sort before purchases (kind 1) at equal ts;
+    # among same-ts clicks the LAST carried is the highest event_id,
+    # matching the (ts DESC, event_id DESC) pick of the oracle.
+    w = W.partitionBy("user_id").orderBy("ts", "kind", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
     )
-    j = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
-    )
-    w = W.partitionBy("purchase_id").orderBy(
-        F.col("click_ts").desc(), F.col("click_id").desc()
+    click_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "purchase_ts", "click_id", "click_ts")
+        filled.filter((F.col("kind") == 1) & F.col("click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
     )
 
 

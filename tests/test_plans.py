@@ -250,3 +250,12 @@ def test_zorder_files_are_tighter_than_linear(spark, sf_dir):
     zdir = scratch_dir("lineitem_zorder", sf_dir)
     z_area, lin_area = mean_box_area(zdir), mean_box_area(lin)
     assert z_area < lin_area * 0.6, (z_area, lin_area)
+
+
+def test_join_asof_is_linear_no_pair_expansion(spark, sf_dir):
+    # the asof must be the union-sort + forward-fill shape: one
+    # user_id window, NO join operator anywhere in the plan (the
+    # naive range-join shape explodes purchases x clicks per user)
+    plan = explain_str(q("join_asof")(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
