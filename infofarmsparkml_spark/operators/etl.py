@@ -227,3 +227,76 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
         F.count_if(F.col("cnt") > 2.0 * F.col("avg_all")).alias("n_hot_keys"),
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+WITH checks AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS positive_quantity,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS discount_in_unit_range,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS shipdate_not_null,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS positive_price,
+    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+      AS BIGINT) AS returnflag_in_domain,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem)
+SELECT rule, n_violations, n_rows,
+       ROUND(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM checks UNPIVOT (n_violations FOR rule IN
+  (positive_quantity, discount_in_unit_range, shipdate_not_null,
+   positive_price, returnflag_in_domain))
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based expectation suite (the Great-Expectations shape):
+    each data-contract rule becomes one conditional-sum aggregate,
+    so the WHOLE suite is a single pass over the table — one scan,
+    one reduce, no per-rule jobs — then an in-place unpivot to the
+    (rule, n_violations, rate) report. At 100 TB this is the only
+    affordable shape: rule count grows the projection, not the
+    number of scans."""
+    lf = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    checks = lf.agg(
+        viol(F.col("l_quantity") <= 0, "positive_quantity"),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "discount_in_unit_range",
+        ),
+        viol(F.col("l_shipdate").isNull(), "shipdate_not_null"),
+        viol(F.col("l_extendedprice") <= 0, "positive_price"),
+        viol(
+            ~F.col("l_returnflag").isin("A", "N", "R"),
+            "returnflag_in_domain",
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    melted = checks.unpivot(
+        ["n_rows"],
+        [
+            "positive_quantity",
+            "discount_in_unit_range",
+            "shipdate_not_null",
+            "positive_price",
+            "returnflag_in_domain",
+        ],
+        "rule",
+        "n_violations",
+    )
+    return melted.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
