@@ -350,3 +350,86 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT r_regionkey, r_name,
+       CASE WHEN r_regionkey < 3 THEN NULL ELSE len(r_name) END AS name_len
+FROM region
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written at
+    different times — the older one lacking a later-added column —
+    merged into one frame with `mergeSchema`, missing values NULL.
+    This is how a long-lived 100 TB dataset actually looks (columns
+    get added; history is never rewritten). Schema merge happens at
+    planning from footer metadata only; no data rewrite, and batch
+    files keep pruning independently."""
+    region = load_table(spark, sf_dir, "region")
+    out = scratch_dir("region_evolved", sf_dir)
+    old = region.filter(F.col("r_regionkey") < 3).select(
+        "r_regionkey", "r_name"
+    )
+    new = region.filter(F.col("r_regionkey") >= 3).select(
+        "r_regionkey",
+        "r_name",
+        F.length("r_name").cast("int").alias("name_len"),
+    )
+    old.write.mode("overwrite").parquet(f"{out}/batch=old")
+    new.write.mode("overwrite").parquet(f"{out}/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/batch=old", f"{out}/batch=new"
+    )
+    return merged.select("r_regionkey", "r_name", "name_len")
+
+
+@query(
+    "etl_partition_overwrite",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rewritten
+FROM (
+  SELECT l_returnflag,
+         CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+           AS l_quantity
+  FROM lineitem)
+GROUP BY l_returnflag
+""",
+)
+def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill
+    primitive: rewrite ONE hive partition ('R') in place while the
+    other partitions' files are untouched (INSERT OVERWRITE
+    semantics with partitionOverwriteMode=dynamic). At 100 TB this
+    is the difference between a 1-partition backfill and a full
+    rewrite. The rewritten partition negates l_quantity so the
+    oracle can prove both that 'R' changed and that 'A'/'N' kept
+    their original bytes."""
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = scratch_dir("lineitem_dyn_overwrite", sf_dir)
+    lf.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            lf.filter(F.col("l_returnflag") == "R")
+            .withColumn("l_quantity", -F.col("l_quantity"))
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    reread = spark.read.parquet(out)
+    return reread.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rewritten"),
+    )

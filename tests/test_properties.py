@@ -91,3 +91,50 @@ def test_row_number_is_permutation_per_partition(spark, a):
         sizes[k] = sizes.get(k, 0) + 1
     want = {(k, i) for k, n in sizes.items() for i in range(1, n + 1)}
     assert got == want
+
+
+def test_asof_matches_bruteforce_on_random_timelines(spark):
+    """The linear union-sort asof must agree with the O(n^2)
+    definition on seeded random event timelines, including ties
+    (click at exactly the purchase ts counts) and users with no
+    prior click (dropped)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(0, 25)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    user,
+                    rng.randint(0, 50),  # coarse ts -> many ties
+                    rng.choice(["click", "purchase", "view"]),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "tsec", "event_type"]
+    ).withColumn("ts", F.timestamp_seconds(F.col("tsec"))).drop("tsec")
+
+    import infofarmsparkml_spark.operators.joins as J
+    from unittest import mock
+
+    with mock.patch.object(J, "load_table", lambda s, d, n: df):
+        got = {
+            r["purchase_id"]: (r["click_id"], r["click_ts"])
+            for r in J.join_asof(spark, "ignored").collect()
+        }
+
+    data = df.collect()
+    expect = {}
+    for p in data:
+        if p["event_type"] != "purchase":
+            continue
+        cands = [c for c in data if c["event_type"] == "click"
+                 and c["user_id"] == p["user_id"] and c["ts"] <= p["ts"]]
+        if cands:
+            best = max(cands, key=lambda c: (c["ts"], c["event_id"]))
+            expect[p["event_id"]] = (best["event_id"], best["ts"])
+    assert got == expect
