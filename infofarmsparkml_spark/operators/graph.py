@@ -183,3 +183,67 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy(F.col("node").alias("part")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def _bfs_oracle(depth: int = 4) -> str:
+    """Level-unrolled BFS oracle (DuckDB): per-level DISTINCT
+    frontiers, then MIN(level) per reached node — same
+    level-synchronized shape as the Spark side, so path explosion
+    never happens on either engine."""
+    parts = [
+        """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seed AS (SELECT MIN(l_partkey) AS node FROM lineitem),
+f0 AS (SELECT node FROM seed)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f"""
+f{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM f{i - 1} f JOIN edges e ON e.src = f.node)"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT node, {i} AS lvl FROM f{i}" for i in range(depth + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+lv AS ({levels})
+SELECT node AS part, CAST(MIN(lvl) AS BIGINT) AS dist
+FROM lv GROUP BY node"""
+    )
+
+
+@query("graph_bfs", oracle=_bfs_oracle())
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronized BFS (4 hops) from the lowest part key over
+    the co-purchase graph: each round joins the DISTINCT frontier to
+    the edge list and anti-joins already-visited nodes — the
+    standard distributed BFS that scales as O(edges touched) per
+    level with no path enumeration (a recursive per-path walk
+    explodes degree^depth). Frontiers are localCheckpointed so the
+    plan does not grow with depth — same iteration discipline as
+    `graph_pagerank`."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    lf = load_table(spark, sf_dir, "lineitem")
+    seed = lf.agg(F.min("l_partkey").alias("node"))
+    visited = seed.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    frontier = visited.select("node")
+    for lvl in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(lvl).cast("long"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.select(F.col("node").alias("part"), "dist")
