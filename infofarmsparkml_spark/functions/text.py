@@ -169,3 +169,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "page_param"
         ),
     )
+
+
+@query(
+    "fn_fuzzy_match",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substring(text, 1, 40) AS prefix
+  FROM documents WHERE doc_id < 30)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 29
+""",
+)
+def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: pairwise Levenshtein distance on
+    40-char document prefixes over a bounded id block, thresholded
+    — the record-linkage / near-key-matching kernel. Spark's
+    `levenshtein` and DuckDB's implement the same DP definition, so
+    distances hash-match exactly. At corpus scale the pairing is
+    never all-pairs: candidates come from a blocking key (LSH
+    bucket, prefix hash, soundex) exactly as in `llm_minhash_lsh_dedup`;
+    this op verifies the distance kernel itself on a fixed block."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    ).select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+    )
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        pairs.select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 29)
+    )

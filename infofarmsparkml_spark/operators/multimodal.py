@@ -188,3 +188,78 @@ def mm_decode_wav_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _encode_batch, schema="doc_id long, payload binary"
     )
     return payloads.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, in_w int, in_h int, out_w int, out_h int, "
+    "out_bytes int, reparse_status string"
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch nearest-neighbor 2x downsample of PPM payloads —
+    the pure-numpy stand-in for a PIL/opencv resize kernel, same
+    Arrow-batched shape. The resized image is re-encoded as PPM and
+    re-parsed by the shared decoder, so a malformed re-encode fails
+    loudly instead of producing unverifiable bytes."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, dims, rest = bytes(payload).split(b"\n", 2)
+            w, h = (int(x) for x in dims.split())
+            body = rest.split(b"\n", 1)[1]
+            px = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+            small = px[::2, ::2, :]  # nearest-neighbor stride-2
+            oh, ow = small.shape[:2]
+            out = f"P6\n{ow} {oh}\n255\n".encode() + small.tobytes()
+            kind, rw, rh, _, _, status = _decode_one(out)
+            ok = "ok" if (kind, rw, rh, status) == ("image", ow, oh, "ok") else "bad"
+            rows.append((int(doc_id), w, h, ow, oh, len(out), ok))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "in_w", "in_h", "out_w", "out_h",
+                "out_bytes", "reparse_status",
+            ],
+        ).astype({c: "int32" for c in ("in_w", "in_h", "out_w", "out_h", "out_bytes")})
+
+
+@query(
+    "mm_resize_ppm",
+    oracle="""
+WITH img AS (
+  SELECT doc_id,
+         8 + (doc_id // 2) % 16 AS w,
+         8 + (doc_id // 2) % 9 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+rs AS (
+  SELECT doc_id, w, h,
+         (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+  FROM img)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
+       CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       CAST(length('P6' || chr(10) || CAST(ow AS VARCHAR) || ' '
+                   || CAST(oh AS VARCHAR) || chr(10) || '255' || chr(10))
+            + 3 * ow * oh AS INTEGER) AS out_bytes,
+       'ok' AS reparse_status
+FROM rs
+""",
+)
+def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary media columns: synthesize each even
+    doc's PPM in the workers, stride-2 nearest-neighbor downsample
+    it in numpy, re-encode, and re-parse the result with the shared
+    decoder — all inside one mapInPandas chain, payloads columnar in
+    Arrow end to end, nothing at the driver. The oracle predicts the
+    exact output dimensions (ceil(w/2) x ceil(h/2)) and re-encoded
+    byte size per doc, so a wrong stride, header, or byte count
+    fails the hash. This is the resize step of a real multimodal
+    pipeline with PIL swapped for a deterministic stdlib kernel."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id", "text")
+    payloads = docs.mapInPandas(_encode_batch, "doc_id long, payload binary")
+    return payloads.mapInPandas(_resize_batch, _RESIZE_SCHEMA)
