@@ -482,3 +482,50 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_file_sink_exactly_once",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: native parquet file sink + checkpoint restart. The query
+    runs TWICE against the same checkpoint: the first availableNow
+    pass writes every event exactly once; the second finds the
+    source fully committed in the offset log and writes nothing.
+    The oracle compares the sink's totals against the batch table,
+    so any duplicate (at-least-once leak) or loss on restart fails
+    the row/hash gate. This is the property that matters on a real
+    cluster: task retries and job restarts must not double-write —
+    Spark's file sink gets it from the checkpointed offset log plus
+    the sink's transactional _spark_metadata commit protocol."""
+    import shutil
+
+    from infofarmsparkml_spark.operators._util import scratch_dir
+
+    sink = scratch_dir("stream_exactly_once", sf_dir)
+    ckpt = f"{sink}_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    for _ in range(2):  # second run must be a committed no-op
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
