@@ -389,7 +389,12 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle); dedup is one window on the 128-bit prefix
     hash (uniform, skew-free); the quota sample is the final window
     over the already-reduced survivor set. Three shuffles total on a
-    corpus-sized input, each on a well-distributed key."""
+    corpus-sized input, each on a well-distributed key. Both rank
+    windows compile with partial WindowGroupLimit pushdown (asserted
+    in tests/test_plans.py): every map task keeps at most k rows per
+    key BEFORE the exchange, so even the source-keyed quota window
+    never sorts a whole source in one task — the optimizer now
+    provides what llm_quota_sample builds explicitly with salts."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang") == "en"
     )

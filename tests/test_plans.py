@@ -259,3 +259,11 @@ def test_join_asof_is_linear_no_pair_expansion(spark, sf_dir):
     plan = explain_str(q("join_asof")(spark, sf_dir), "simple")
     assert "Join" not in plan, plan[:3000]
     assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_curation_pipeline_rank_windows_are_limit_pushed(spark, sf_dir):
+    # both row_number+filter windows must compile with partial
+    # WindowGroupLimit (map tasks keep <=k rows per key pre-shuffle);
+    # losing the pushdown re-creates the whole-source single-task sort
+    plan = explain_str(q("llm_curation_pipeline")(spark, sf_dir), "simple")
+    assert plan.count("WindowGroupLimit") >= 4, plan[:3000]
