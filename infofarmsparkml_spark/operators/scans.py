@@ -433,3 +433,32 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rewritten"),
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS VARCHAR)
+            AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip — the second columnar format a
+    Spark shop actually meets (Hive estates). Write orders as ORC,
+    re-read, aggregate; the oracle checks the round trip preserved
+    every row and value. ORC gets the same vectorized reader,
+    predicate pushdown, and column pruning treatment as parquet in
+    Spark, so the 100 TB posture is unchanged; sums run in
+    DECIMAL(14,4) for exactness, surfaced as double via string
+    round-trip like the other money aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("orders_orc", sf_dir)
+    orders.write.mode("overwrite").orc(out)
+    reread = spark.read.orc(out)
+    money = F.col("o_totalprice").cast("decimal(14,4)")
+    return reread.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money).cast("string").cast("double").alias("sum_price"),
+    )
