@@ -752,3 +752,56 @@ def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         F.round(F.col("prediction"), 4).alias("calibrated_price"),
     )
+
+
+@query("ml_pipeline_save_load")  # persistence round trip: rows-only
+def ml_pipeline_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline persistence — the deploy path of every MLlib-era
+    project: fit a Tokenizer→CountVectorizer→IDF→LogisticRegression
+    pipeline, save it with MLWriter, reload with PipelineModel.load,
+    and score with the RELOADED model. The returned frame carries
+    predictions from both the in-memory and reloaded models plus a
+    match flag, so any serialization drift (vocabulary order, coef
+    precision) shows up as rows with match=false — asserted all-true
+    in unit tests. Model files are driver-side metadata + small
+    parquet (coefficients), so persistence cost is independent of
+    training-data scale."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer
+
+    from infofarmsparkml_spark.operators._util import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol="text", outputCol="toks", pattern=r"\s+",
+                toLowercase=True,
+            ),
+            CountVectorizer(inputCol="toks", outputCol="tf", minDF=1.0),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(
+                featuresCol="features", labelCol="label", maxIter=10,
+                regParam=0.1,
+            ),
+        ]
+    )
+    model = pipe.fit(docs)
+    path = scratch_dir("ml_pipeline_model", sf_dir)
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    orig = model.transform(docs).select(
+        "doc_id", F.col("prediction").alias("pred_orig")
+    )
+    re = reloaded.transform(docs).select(
+        "doc_id", F.col("prediction").alias("pred_reloaded")
+    )
+    return orig.join(re, "doc_id").select(
+        "doc_id",
+        F.col("pred_orig").cast("int").alias("pred_orig"),
+        F.col("pred_reloaded").cast("int").alias("pred_reloaded"),
+        (F.col("pred_orig") == F.col("pred_reloaded")).alias("match"),
+    )

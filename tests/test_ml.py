@@ -246,3 +246,10 @@ def test_isotonic_prediction_is_monotone(spark, sf_dir):
     assert all(a <= b + 1e-9 for a, b in zip(preds, preds[1:])), (
         "isotonic fit is not monotone"
     )
+
+
+def test_pipeline_save_load_roundtrip_identical(spark, sf_dir):
+    rows = q("ml_pipeline_save_load")(spark, sf_dir).collect()
+    assert rows and all(r["match"] for r in rows), (
+        "reloaded pipeline diverged from the fitted one"
+    )
