@@ -429,3 +429,101 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w_q).cast("long"))
         .filter(F.col("sample_rank") <= 50)
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws), 1)),
+                i -> ws[i] || ' ' || ws[i+1])) AS b
+  FROM w WHERE len(ws) >= 2),
+sp AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+bgc AS (SELECT b, COUNT(*) AS cb FROM sp GROUP BY b),
+uc AS (SELECT w1, COUNT(*) AS cu FROM sp GROUP BY w1)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN(bgc.cb * 1.0 / uc.cu)), 4) AS avg_bigram_logprob
+FROM sp JOIN bgc USING (b) JOIN uc USING (w1)
+GROUP BY sp.doc_id
+""",
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: average
+    ln P(w_i | w_{i-1}) under the corpus's own MLE bigram model —
+    the next step up from `llm_unigram_logprob` and the cheap stand-
+    in for KenLM-style perplexity filtering. Two corpus-built count
+    tables (bigram and conditioning-unigram, both vocabulary²- and
+    vocabulary-bounded), joined back to the exploded bigrams with no
+    broadcast hints (AQE decides, same reasoning as the unigram op),
+    then one per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", 2)).alias("b")
+    )
+    sp = bg.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+    bgc = sp.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    uc = sp.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = sp.join(bgc, "b").join(uc, "w1")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("cb") / F.col("cu"))), 4).alias(
+            "avg_bigram_logprob"
+        ),
+    )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT lang, w, COUNT(*) AS cnt FROM tok GROUP BY lang, w),
+tot AS (SELECT lang, SUM(cnt) AS n FROM c GROUP BY lang),
+r AS (
+  SELECT c.lang, c.cnt, tot.n,
+         SUM(c.cnt) OVER (PARTITION BY c.lang ORDER BY c.cnt DESC, c.w)
+           AS cum,
+         ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY c.cnt DESC, c.w)
+           AS rn
+  FROM c JOIN tot USING (lang))
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(MIN(CASE WHEN cum >= 0.95 * n THEN rn END) AS BIGINT)
+         AS v95_tokens
+FROM r GROUP BY lang
+""",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: per language, the total
+    vocabulary size and how many top-frequency types cover 95% of
+    token occurrences — the number that sizes a tokenizer's vocab
+    (and exposes languages the tokenizer will fragment). The heavy
+    corpus pass is one hash-aggregate down to (lang, type) counts;
+    the ranking window then runs on VOCABULARY-sized data (bounded
+    by distinct types, not corpus tokens), which is the correct
+    place to pay a per-lang sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    c = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    w_rank = W.partitionBy("lang").orderBy(F.desc("cnt"), "w")
+    r = (
+        c.join(tot, "lang")
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.min(
+            F.when(F.col("cum") >= 0.95 * F.col("n"), F.col("rn"))
+        ).alias("v95_tokens"),
+    )

@@ -113,3 +113,52 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", key), 4).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+WITH z AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         AVG(value) OVER w AS mu,
+         COUNT(*) OVER w AS n,
+         stddev_pop(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ts, value,
+       ROUND((value - mu) / sd, 3) AS zscore
+FROM z WHERE n >= 5 AND sd > 1e-9 AND ABS((value - mu) / sd) > 2
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/σ of its user's trailing 11-event window; emit events
+    beyond 2σ (with a 5-event warm-up and a degenerate-σ guard).
+    One window over one user_id exchange — the streaming-friendly
+    rolling-statistics shape, identical frames on both engines so
+    population σ and the flagged set hash-match exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, 0)
+    z = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.stddev_pop("value").over(w).alias("sd"),
+    )
+    score = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        z.filter(
+            (F.col("n") >= 5) & (F.col("sd") > 1e-9) & (F.abs(score) > 2)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(score, 3).alias("zscore"),
+        )
+    )
