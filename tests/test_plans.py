@@ -267,3 +267,11 @@ def test_curation_pipeline_rank_windows_are_limit_pushed(spark, sf_dir):
     # losing the pushdown re-creates the whole-source single-task sort
     plan = explain_str(q("llm_curation_pipeline")(spark, sf_dir), "simple")
     assert plan.count("WindowGroupLimit") >= 4, plan[:3000]
+
+
+def test_topk_windows_get_group_limit_pushdown(spark, sf_dir):
+    # every rank-then-filter operator must compile with partial
+    # WindowGroupLimit so map tasks bound their output per key
+    for name in ("win_topk_per_group", "llm_lang_id"):
+        plan = explain_str(q(name)(spark, sf_dir), "simple")
+        assert "WindowGroupLimit" in plan, (name, plan[:2000])
