@@ -138,3 +138,25 @@ def test_asof_matches_bruteforce_on_random_timelines(spark):
             best = max(cands, key=lambda c: (c["ts"], c["event_id"]))
             expect[p["event_id"]] = (best["event_id"], best["ts"])
     assert got == expect
+
+
+def test_compare_frames_catches_wrongness():
+    """Meta-test of the oracle gate itself: the comparator must
+    accept row-order permutations (the driver sorts) but reject
+    value drift, row-count drift, and schema drift — otherwise every
+    green parity row in this suite is meaningless."""
+    import pandas as pd
+
+    from infofarmsparkml_spark.verify import compare_frames
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5]})
+    ok, _ = compare_frames(base, base.sample(frac=1.0, random_state=7))
+    assert ok, "row order must not matter"
+    ok, _ = compare_frames(base, base.assign(v=[1.5, 2.5, 3.6]))
+    assert not ok, "a changed value must fail the hash"
+    ok, _ = compare_frames(base, base.head(2))
+    assert not ok, "a dropped row must fail"
+    ok, _ = compare_frames(base, base.rename(columns={"v": "w"}))
+    assert not ok, "a renamed column must fail the schema check"
+    ok, _ = compare_frames(base, base.assign(v=base["v"].astype("int64")))
+    assert not ok, "a changed dtype family must fail"
