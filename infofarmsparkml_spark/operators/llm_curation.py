@@ -527,3 +527,84 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= 0.95 * F.col("n"), F.col("rn"))
         ).alias("v95_tokens"),
     )
+
+
+@query(
+    "llm_quality_scorecard",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+           FROM documents),
+tg AS (SELECT doc_id, unnest({_duck_ngrams(3)}) AS tg FROM w),
+rep AS (
+  SELECT doc_id, ROUND(1.0 - COUNT(DISTINCT tg) / COUNT(*), 4) AS dup_ratio
+  FROM tg GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT SUM(cnt) AS n FROM freq),
+lp AS (
+  SELECT tok.doc_id, ROUND(AVG(LN(freq.cnt / tot.n)), 4) AS avg_logprob
+  FROM tok JOIN freq USING (t) CROSS JOIN tot GROUP BY tok.doc_id)
+SELECT w.doc_id, w.lang, w.source,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       rep.dup_ratio, lp.avg_logprob,
+       (len(w.ws) >= 20 AND rep.dup_ratio <= 0.2) AS passes_gate
+FROM w JOIN rep USING (doc_id) JOIN lp USING (doc_id)
+""",
+)
+def llm_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized per-document quality table — what a curation
+    pipeline persists so that filter decisions are auditable and
+    re-tunable without recomputing: token count, trigram repetition,
+    unigram log-prob, and the resulting gate verdict in one frame.
+
+    Scale: three metric families computed in parallel branches over
+    one documents scan lineage, each reduced to (doc_id, metric)
+    before the joins — the joins therefore carry one row per doc,
+    not per token. doc_id is unique so the join keys are skew-free;
+    no broadcast hints on the corpus-derived frequency table (AQE
+    decides, as in llm_unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    tg = docs.select(
+        "doc_id", F.explode(_word_ngrams("text", 3)).alias("tg")
+    )
+    rep = tg.groupBy("doc_id").agg(
+        F.round(
+            1.0 - F.countDistinct("tg") / F.count(F.lit(1)), 4
+        ).alias("dup_ratio")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    lp = (
+        tok.join(freq, "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    return (
+        base.join(rep, "doc_id")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "dup_ratio",
+            "avg_logprob",
+            (
+                (F.col("n_tokens") >= 20) & (F.col("dup_ratio") <= 0.2)
+            ).alias("passes_gate"),
+        )
+    )
