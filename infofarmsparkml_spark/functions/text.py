@@ -207,3 +207,37 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 29)
     )
+
+
+@query(
+    "fn_pseudonymize",
+    oracle="""
+SELECT event_id,
+       sha256('corpus-v1:' || CAST(user_id AS VARCHAR)) AS user_token,
+       substring(sha256('corpus-v1:' || CAST(user_id AS VARCHAR)), 1, 12)
+         AS short_token,
+       event_type
+FROM events
+""",
+)
+def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization: replace the user identifier
+    with a salted SHA-256 token — the privacy-preserving join key
+    pattern (same user maps to the same token across tables and
+    runs, so joins and aggregations still work; the raw id never
+    leaves the scan). Pure JVM hash projection, map-only; the salt
+    would come from a secret store in production, pinned here for
+    the oracle twin."""
+    ev = load_table(spark, sf_dir, "events")
+    token = F.lower(
+        F.sha2(
+            F.concat(F.lit("corpus-v1:"), F.col("user_id").cast("string")),
+            256,
+        )
+    )
+    return ev.select(
+        "event_id",
+        token.alias("user_token"),
+        F.substring(token, 1, 12).alias("short_token"),
+        "event_type",
+    )
