@@ -300,3 +300,88 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+WITH chg AS (
+  SELECT c_custkey, 1 AS seq, 'D' AS op,
+         c_name, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 1, 'U', c_name, 'UPDATED'
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey, 2, 'D', c_name, 'UPDATED'
+  FROM customer WHERE c_custkey % 20 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'I', c_name || ' (new)', c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 2),
+last AS (
+  SELECT * FROM (
+    SELECT chg.*, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                     ORDER BY seq DESC) AS rn
+    FROM chg) WHERE rn = 1),
+untouched AS (
+  SELECT c.c_custkey, c.c_name, c.c_mktsegment
+  FROM customer c WHERE NOT EXISTS
+    (SELECT 1 FROM last l WHERE l.c_custkey = c.c_custkey)),
+applied AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM last WHERE op <> 'D')
+SELECT * FROM untouched UNION ALL SELECT * FROM applied
+""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (the Debezium-merge shape): a
+    sequenced stream of I/U/D operations is reduced to its
+    last-writer-wins state per key, then applied to the base table —
+    deletes drop the row, updates replace it, inserts add it, keys
+    never mentioned pass through. The fixture changelog exercises
+    all paths including update-then-delete on the same key (seq 2
+    wins).
+
+    Scale: the changelog compacts FIRST (one window on the CDC key,
+    WindowGroupLimit-bounded) so the expensive joins against the
+    base table carry one row per changed key, not one per change
+    event; apply = one left-anti (drop touched) + union of the
+    compacted survivors and pass-throughs, all shuffling on the
+    uniformly-hashed primary key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    chg = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit(1).alias("seq"), F.lit("D").alias("op"),
+                "c_name", "c_mktsegment")
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 1).select(
+                "c_custkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+                "c_name", F.lit("UPDATED").alias("c_mktsegment"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 20 == 1).select(
+                "c_custkey", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+                "c_name", F.lit("UPDATED").alias("c_mktsegment"))
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 2).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
+                "c_mktsegment")
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.desc("seq"))
+    last = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    untouched = cust.join(
+        last.select("c_custkey"), "c_custkey", "left_anti"
+    )
+    applied = last.filter(F.col("op") != "D").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return untouched.unionByName(applied)

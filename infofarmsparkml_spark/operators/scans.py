@@ -462,3 +462,27 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(money).cast("string").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+SELECT r_name AS value FROM region
+""",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text source round trip — the rawest ingestion format (one
+    string column per line), where every log/crawl pipeline starts
+    before schema is imposed. Write region names as lines, read them
+    back with `spark.read.text`; parsing into columns is then plain
+    DataFrame expressions (see scan_csv/scan_json_lines for the
+    schema-ed siblings). Line-splittable at any scale."""
+    out = scratch_dir("region_text", sf_dir)
+    (
+        load_table(spark, sf_dir, "region")
+        .select(F.col("r_name"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return spark.read.text(out)
