@@ -241,3 +241,28 @@ def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(token, 1, 12).alias("short_token"),
         "event_type",
     )
+
+
+@query("fn_aes_roundtrip")  # ciphertext is key-dependent: rows-only
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip: AES-GCM encrypt the
+    customer name with aes_encrypt, decrypt with aes_decrypt, and
+    emit a match flag plus ciphertext length — the at-rest
+    column-protection pattern (encrypt before sink, decrypt after
+    scan, key from a secret store; pinned here for determinism of
+    the ECB test lane — GCM mode is what production uses and is
+    exercised in the unit test). JVM-side codecs, map-only."""
+    cust = load_table(spark, sf_dir, "customer")
+    ct = F.expr(
+        "aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    pt = F.expr(
+        "cast(aes_decrypt("
+        "aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS'),"
+        " '0123456789abcdef', 'ECB', 'PKCS') as string)"
+    )
+    return cust.select(
+        "c_custkey",
+        F.length(ct).alias("ct_bytes"),
+        (pt == F.col("c_name")).alias("roundtrip_ok"),
+    )

@@ -480,3 +480,17 @@ def test_curation_pipeline_stages_consistent(spark, sf_dir):
     for source, ranks in per_source.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert max(ranks) <= 50
+
+
+def test_aes_roundtrip_all_ok_and_gcm_mode(spark, sf_dir):
+    rows = q("fn_aes_roundtrip")(spark, sf_dir).collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)
+    # production mode: GCM (random IV -> nondeterministic ciphertext,
+    # still must decrypt)
+    df = spark.range(1).select(
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt('secret', '0123456789abcdef', "
+            "'GCM'), '0123456789abcdef', 'GCM') as string)"
+        ).alias("pt")
+    )
+    assert df.collect()[0]["pt"] == "secret"
