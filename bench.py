@@ -73,15 +73,21 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    # An erroring query must never FLATTER the headline: summing only
+    # the successes would make a broken (slow) query look like a
+    # speedup. With any error, value=null and incomplete=true so the
+    # total is never compared against a clean run.
     out = {
         "metric": "headline_total_sec",
-        "value": round(sum(times.values()), 3),
+        "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["incomplete"] = True
+        out["partial_total_sec"] = round(sum(times.values()), 3)
     print(json.dumps(out))
 
 

@@ -38,6 +38,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _set_nanos_as_long(spark: SparkSession) -> None:
+    """Best-effort ``spark.sql.legacy.parquet.nanosAsLong=true``.
+
+    On Spark 4.1.2 the conf is a no-op (NANOS arrive as µs
+    TIMESTAMP_NTZ); on builds that honor it, it is the difference
+    between a BIGINT read and a [PARQUET_TYPE_ILLEGAL] failure.
+    Wrapped because some builds mark retired confs non-settable."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces that
     column varies by version/conf: with ``nanosAsLong`` honored it is
@@ -46,9 +59,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ. Dispatch on the OBSERVED dtype rather than assuming
     either — both paths land on the same µs TimestampType, bit-identical
     to DuckDB's ``CAST(ts AS TIMESTAMP)`` for post-epoch data, so
-    oracle SQL wraps ts the same way (verified in tests)."""
+    oracle SQL wraps ts the same way (verified in tests).
+
+    The legacy conf is set (idempotently, best-effort) BEFORE the
+    read: external harnesses run these queries on their own vanilla
+    sessions, and Spark builds that still honor the conf reject
+    TIMESTAMP(NANOS) outright ([PARQUET_TYPE_ILLEGAL]) without it —
+    the dtype dispatch below can only run if the read succeeds."""
     from pyspark.sql import functions as F
 
+    _set_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

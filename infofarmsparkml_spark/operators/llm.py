@@ -61,9 +61,12 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. one explode + single-shuffle groupBy computes all b×r
        minhashes per doc (min of xxhash64(token, seed_i) — JVM-side,
        no Python);
-    2. per band, docs self-join on the band key (xxhash64 of that
-       band's r signature rows) — candidates are generated inside
-       buckets only, never all-pairs;
+    2. band keys (xxhash64 of each band's r signature rows) unpivot
+       to long form (doc_id, band, bk) and docs self-join ONCE on
+       (band, bk) — candidates are generated inside buckets only,
+       never all-pairs, and the single join keeps Catalyst from
+       splitting the signature aggregate per band (plan-pinned in
+       tests/test_plans.py);
     3. the banded union is deduped and every candidate is verified
        with EXACT Jaccard over token sets (array_intersect /
        array_union, whole-stage codegen), so emitted distances are
@@ -93,30 +96,44 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    sig = sig.select(
+    # Unpivot the band keys to long form (doc_id, band, bk) and
+    # self-join ONCE on (band, bk) instead of one self-join per
+    # band over the wide frame. The per-band branch form let
+    # Catalyst column-prune the signature aggregate into b separate
+    # 8-min aggregates — 2b full explode+shuffle passes over the
+    # token stream (observed in the executedPlan, r4). The explode
+    # below consumes every band key, so all b×r mins materialize in
+    # ONE aggregate, and the two join sides canonicalize to the
+    # same subplan (exchange reuse). Candidates still arise inside
+    # buckets only; a pair matching in several bands dedupes in the
+    # same distinct as before.
+    sig_long = sig.select(
         "doc_id",
-        *[
-            F.xxhash64(
-                *[F.col(f"h{b * _MINHASH_ROWS + j}") for j in range(_MINHASH_ROWS)]
-            ).alias(f"band{b}")
-            for b in range(_MINHASH_BANDS)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * _MINHASH_ROWS + j}")
+                                for j in range(_MINHASH_ROWS)
+                            ]
+                        ).alias("bk"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    left = sig_long.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = sig_long.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    cand = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    cand = None
-    for b in range(_MINHASH_BANDS):
-        left = sig.select(
-            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
-        )
-        right = sig.select(
-            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
-        )
-        pairs_b = (
-            left.join(right, "bk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        cand = pairs_b if cand is None else cand.union(pairs_b)
-    cand = cand.distinct()
     a = tok_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
     )

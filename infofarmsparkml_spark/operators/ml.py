@@ -329,10 +329,128 @@ def ml_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_eval")  # model metrics: rows-only + threshold unit tests
+@query(
+    "ml_eval",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+         list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b) AS z
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, y, z,
+         CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred,
+         ROW_NUMBER() OVER (ORDER BY z, vec_id) AS rn
+  FROM s
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         SUM(y) AS n1,
+         SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS n_correct,
+         SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fneg,
+         SUM(CASE WHEN y = 1 THEN rn ELSE 0 END) AS rank_sum_pos
+  FROM p
+),
+m AS (
+  SELECT CAST(n_correct AS DOUBLE) / n AS acc,
+         CAST(tp AS DOUBLE) / (tp + fp) AS prec_v,
+         CAST(tp AS DOUBLE) / (tp + fneg) AS rec_v,
+         (CAST(rank_sum_pos AS DOUBLE) - n1 * (n1 + 1) / 2.0)
+           / (n1 * (n - n1)) AS auc_v
+  FROM a
+)
+SELECT ROUND(acc, 6) AS accuracy,
+       ROUND(prec_v, 6) AS prec,
+       ROUND(rec_v, 6) AS recall,
+       ROUND(CASE WHEN prec_v + rec_v = 0 THEN 0.0
+                  ELSE 2 * prec_v * rec_v / (prec_v + rec_v) END, 6) AS f1,
+       ROUND(auc_v, 6) AS auc
+FROM m
+""",
+)
 def ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9: evaluation metrics — LR accuracy/F1 and k-means
-    silhouette in one summary row."""
+    """M9: evaluation metrics — accuracy / precision / recall / F1 /
+    ROC-AUC for a binary classifier, computed with exact count and
+    rank arithmetic so a closed-form SQL oracle exists (the r3
+    verdict's ask: AUC in Mann-Whitney rank form).
+
+    The classifier under evaluation is DETERMINISTIC (score z =
+    left-fold sum of the embedding; predict 1 iff z >= 0; target
+    y = label >= 5) — trained-model metrics are seed/solver bound
+    and stay in the rows-only ML queries, but the METRIC math here
+    is exactly what MLlib's evaluators compute (asserted equal to
+    MulticlassClassificationEvaluator in tests/test_ml.py).
+
+    Scale shape: AUC needs a global rank over scores — stamped by
+    ``global_row_number`` (range partition + per-partition window +
+    broadcast offsets), never a SinglePartition window; everything
+    else is one partial+final aggregate. Both engines fold z in
+    index order → doubles bit-identical; all metric divisions share
+    one formula tree, so ROUND(·, 6) agrees."""
+    from infofarmsparkml_spark.operators.sorts import global_row_number
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") >= 5).cast("int").alias("y"),
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z"),
+    ).withColumn("pred", (F.col("z") >= 0).cast("int"))
+    ranked = global_row_number(
+        scored, [F.col("z").asc(), F.col("vec_id")], "rn"
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n1"),
+        F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0)
+        ).alias("fneg"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("rn")).otherwise(F.lit(0))
+        ).alias("rank_sum_pos"),
+    )
+    prec_v = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec_v = F.col("tp").cast("double") / (F.col("tp") + F.col("fneg"))
+    auc_v = (
+        F.col("rank_sum_pos").cast("double")
+        - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    ) / (F.col("n1") * (F.col("n") - F.col("n1")))
+    return a.select(
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "accuracy"
+        ),
+        F.round(prec_v, 6).alias("prec"),
+        F.round(rec_v, 6).alias("recall"),
+        F.round(
+            F.when(prec_v + rec_v == 0, F.lit(0.0)).otherwise(
+                F.lit(2) * prec_v * rec_v / (prec_v + rec_v)
+            ),
+            6,
+        ).alias("f1"),
+        F.round(auc_v, 6).alias("auc"),
+    )
+
+
+@query("ml_eval_trained")  # seeded LR/k-means metrics: rows-only
+def ml_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9b: the trained-model metric row (LR accuracy/F1, k-means
+    silhouette via MLlib evaluators) — solver/seed-bound, so
+    rows-only; the metric ARITHMETIC is hash-proven by ml_eval."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.evaluation import (
@@ -363,19 +481,56 @@ def ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_scaler_pca")  # eigenvector sign is solver-defined: rows-only
+@query(
+    "ml_scaler_pca",
+    oracle="""
+WITH u AS (
+  SELECT vec_id,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS i
+  FROM embeddings
+),
+stats AS (
+  SELECT i, AVG(x) AS m, STDDEV_SAMP(x) AS s FROM u GROUP BY i
+),
+z AS (
+  SELECT u.vec_id, (u.x - stats.m) / stats.s AS zx
+  FROM u JOIN stats USING (i)
+)
+SELECT vec_id, ROUND(SQRT(SUM(zx * zx)), 4) AS pc_norm
+FROM z GROUP BY vec_id
+""",
+)
 def ml_scaler_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10: StandardScaler (with mean/std) → PCA to 8 components;
-    emits the projected-vector L2 norm (sign-invariant)."""
+    """M10: StandardScaler (with mean/std) → full-rank PCA; emits
+    the projected-vector L2 norm.
+
+    SQL-oracled (the r3 verdict's ask): with k = the full feature
+    dimension, the principal components form a complete orthonormal
+    basis, so the PCA projection is a pure rotation of the
+    (centered) scaled vector and ‖pc‖₂ ≡ ‖scaled‖₂ — which IS
+    closed-form: sqrt(Σ_d ((x_d − mean_d)/stddev_d)²), expressed in
+    DuckDB over the unnested embeddings. This pins BOTH MLlib
+    stages numerically (scaler mean/std against AVG/STDDEV_SAMP,
+    PCA orthonormality via norm preservation) to 4 decimals;
+    truncated-PCA variance capture is asserted separately in
+    tests/test_ml.py.
+
+    Scale shape: scaler fit and covariance are one treeAggregate
+    each; the 64×64 eigendecomposition is O(dim³) on the driver,
+    independent of row count."""
     from pyspark.ml.feature import PCA, StandardScaler
     from pyspark.ml.functions import vector_to_array
 
     data = _embedding_features(spark, sf_dir)
+    dim = data.select(
+        F.size(vector_to_array("features")).alias("d")
+    ).first()["d"]
     scaler = StandardScaler(
         inputCol="features", outputCol="scaled", withMean=True, withStd=True
     )
     scaled = scaler.fit(data).transform(data)
-    pca = PCA(k=8, inputCol="scaled", outputCol="pc")
+    pca = PCA(k=dim, inputCol="scaled", outputCol="pc")
     out = pca.fit(scaled).transform(scaled)
     arr = vector_to_array(F.col("pc"))
     return out.select(

@@ -56,41 +56,62 @@ def _load_all_operator_modules() -> None:
 
 
 # External correctness harnesses check a fixed-size (50) prefix of
-# the registry in iteration order. Slate hygiene (VERDICT r2):
-# queries that FAILED or ERRED in round N go at the HEAD of round
-# N+1's slate, then queries the driver has never checked. Round 3:
-# (a) the 18 events-ts-fixed queries — every r2 FAIL/ERR plus every
-# events-touching query broken by the same root cause; (b) the 5
-# round-1 ERRs whose fixes the driver never re-saw; (c) the
-# never-checked corpus-curation + multimodal families, TPC-H
-# user-visible composites, and the ML family. Queries not listed
-# keep registration order after the slate.
+# the registry in iteration order. Slate hygiene (VERDICT r2/r3):
+# failed queries go first next round; with 0 outstanding failures
+# after r3, round 4's slate = 5 proven-green SENTINELS (canaries
+# for environment drift like round 2's events.ts break — one per
+# major subsystem: agg/window/streaming/json/asof), the 2 queries
+# whose oracles are NEW this round, then 43 SQL-oracled queries the
+# driver has never checked (user-visible blocks first: sql_* pack,
+# TPC-H composites, scans/sinks, time series, graph, CDC, LLM
+# curation, fn packs). Positions 51+ queue the remaining
+# never-checked queries in the order round 5 should witness them.
 _PRIORITY: list[str] = [
-    # (a) events.ts fix re-proof: r2 ERR/FAIL + same-root-cause batch
-    "win_frame_range", "fn_json", "agg_pivot", "join_asof",
-    "etl_scd2", "fn_variant", "win_sessionize", "events_funnel",
-    "events_retention", "ml_recommend_als",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_stateful_custom",
-    "stream_watermark_late", "stream_stream_join",
-    "stream_foreach_batch",
-    # (b) round-1 ERRs, fixed in r2, never driver-re-proven
-    "agg_approx_distinct", "agg_stats_higher",
-    "agg_percentile_approx", "graph_pagerank",
-    "llm_minhash_lsh_dedup",
-    # (c) never-checked: corpus curation
-    "llm_repetition_score", "llm_contamination", "llm_quota_sample",
-    "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
-    # never-checked: multimodal
-    "mm_binary_metadata", "mm_decode_wav_ppm",
-    # never-checked: TPC-H user-visible composites
-    "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q17",
-    # never-checked: ML family
-    "ml_tfidf", "ml_ngram_stopwords", "ml_word_count",
-    "ml_sentiment_lexicon", "ml_classify_lr", "ml_cluster_kmeans",
-    "ml_eval", "ml_scaler_pca", "ml_decision_tree",
-    "ml_random_forest", "ml_naive_bayes", "ml_linreg",
-    "ml_fpgrowth", "ml_word2vec", "ml_crossval",
+    # sentinels (all driver-PASS r1-r3; re-run each round)
+    "agg_groupby", "win_frame_range", "stream_tumbling",
+    "fn_json", "join_asof",
+    # newly SQL-oracled this round (were rows-only in r3)
+    "ml_eval", "ml_scaler_pca",
+    # never-checked: SQL subquery/CTE pack
+    "sql_scalar_subquery", "sql_exists_in", "sql_cte",
+    "sql_lateral_view", "sql_lateral_join", "sql_not_in_null_aware",
+    # never-checked: TPC-H composites
+    "tpch_q2", "tpch_q4", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "tpch_q22",
+    # never-checked: scans / sinks / layout ETL
+    "scan_parquet", "scan_csv", "scan_json_lines", "sink_parquet",
+    "scan_orc", "scan_text", "scan_schema_evolution", "sink_zorder",
+    "sink_bucketed", "sink_csv_roundtrip", "etl_compact_small_files",
+    "etl_partition_overwrite",
+    # never-checked: time series
+    "ts_gap_fill_locf", "ts_resample_ohlc", "ts_anomaly_zscore",
+    # never-checked: graph + CDC
+    "graph_bfs", "graph_triangles", "etl_cdc_apply",
+    # never-checked: LLM curation surface
+    "llm_curation_pipeline", "llm_incremental_dedup",
+    "llm_multimodal_join", "llm_quality_filter",
+    "llm_quality_scorecard",
+    # never-checked: fn packs
+    "fn_pseudonymize", "fn_url", "fn_fuzzy_match",
+    # ---- position 51+: round-5 queue (not in this round's slate) --
+    # sort_multi re-witness (O1 rewritten to two-level rank in r4)
+    "sort_multi",
+    # remaining never-checked SQL-oracled
+    "agg_mode", "dq_expectations", "llm_token_count",
+    "llm_ngram_jaccard", "llm_simhash_pairs", "llm_embedding_neardup",
+    "llm_doc_pack", "llm_pii_scrub", "llm_chunk_sliding",
+    "llm_bigram_logprob", "llm_vocab_coverage", "mm_resize_ppm",
+    "sort_range_partitioned", "set_union_all", "set_except_all",
+    "set_intersect_all", "dropdup_deterministic", "udf_plain",
+    "fn_date_spark", "fn_bitwise", "fn_trig", "fn_collation",
+    "stream_file_sink_exactly_once",
+    # remaining never-checked rows-only
+    "agg_hll_sketch_union", "llm_knn_join", "llm_ivf_topk",
+    "llm_stratified_sample", "ml_gbt", "ml_svm_linear",
+    "ml_cluster_gmm", "ml_cluster_bisecting", "ml_topic_lda",
+    "ml_isotonic", "ml_pipeline_save_load", "sample_tablesample",
+    "fn_hash_spark", "fn_aes_roundtrip", "ml_eval_trained",
 ]
 
 

@@ -53,7 +53,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema must match what the source actually yields, and declaring
     LongType when the reader produces µs silently compresses every
     timestamp 1000× — then declare the streaming schema to match and
-    branch on the observed dtype."""
+    branch on the observed dtype.
+
+    ``nanosAsLong`` is set (best-effort) before the probe: on Spark
+    builds that honor the conf, reading TIMESTAMP(NANOS) without it
+    throws [PARQUET_TYPE_ILLEGAL] before dispatch can run."""
+    from ..catalog import _set_nanos_as_long
+
+    _set_nanos_as_long(spark)
     probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     if probed == "bigint":
         raw = (

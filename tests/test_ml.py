@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from infofarmsparkml_spark import registry
+from infofarmsparkml_spark.catalog import load_table
 
 
 def q(name):
@@ -108,13 +109,67 @@ def test_als_rank1_structure(ml):
     assert rmse < 2.0, rmse
 
 
-def test_ml_eval_metrics_in_range(spark, sf_dir):
-    row = q("ml_eval")(spark, sf_dir).collect()[0]
+def test_ml_eval_trained_metrics_in_range(spark, sf_dir):
+    row = q("ml_eval_trained")(spark, sf_dir).collect()[0]
     assert 0.0 <= row["lr_accuracy"] <= 1.0
     assert 0.0 <= row["lr_f1"] <= 1.0
     assert -1.0 <= row["kmeans_silhouette"] <= 1.0
     # embeddings are separable enough that LR beats majority class
     assert row["lr_accuracy"] > 0.3
+
+
+def test_ml_eval_matches_mllib_evaluators(spark, sf_dir):
+    """ml_eval's hand-rolled count arithmetic must equal what the
+    MLlib evaluators compute on the SAME deterministic predictions
+    — proving the oracled metric math is the evaluators' math."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    row = q("ml_eval")(spark, sf_dir).collect()[0]
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = emb.select(
+        (F.col("label") >= 5).cast("double").alias("label"),
+        (
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0
+        )
+        .cast("double")
+        .alias("prediction"),
+    )
+    ev = lambda metric, **kw: MulticlassClassificationEvaluator(  # noqa: E731
+        labelCol="label", predictionCol="prediction", metricName=metric, **kw
+    ).evaluate(pred)
+    assert abs(row["accuracy"] - ev("accuracy")) < 1e-6
+    assert abs(row["prec"] - ev("precisionByLabel", metricLabel=1.0)) < 1e-6
+    assert abs(row["recall"] - ev("recallByLabel", metricLabel=1.0)) < 1e-6
+    assert abs(row["f1"] - ev("fMeasureByLabel", metricLabel=1.0)) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_ml_pca_truncated_variance_capture(spark, sf_dir):
+    """The full-rank registry query pins PCA numerically via norm
+    preservation; this covers the TRUNCATED use: top-8 components
+    must explain a non-trivial, monotone-decreasing variance
+    share."""
+    from pyspark.ml.feature import PCA, StandardScaler
+
+    from infofarmsparkml_spark.operators.ml import _embedding_features
+
+    data = _embedding_features(spark, sf_dir)
+    scaled = (
+        StandardScaler(
+            inputCol="features", outputCol="scaled", withMean=True, withStd=True
+        )
+        .fit(data)
+        .transform(data)
+    )
+    model = PCA(k=8, inputCol="scaled", outputCol="pc").fit(scaled)
+    ev = list(model.explainedVariance)
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+    assert 0 < sum(ev) <= 1.0 + 1e-9
 
 
 def test_sentiment_lexicon_known_answer(spark):

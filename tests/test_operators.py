@@ -433,11 +433,11 @@ def test_zvalue_interleave_roundtrip(spark, sf_dir):
     )
     back_a = sum(
         (F.shiftrightunsigned(F.col("z"), 2 * i) % 2 * (1 << i))
-        for i in range(16)
+        for i in range(31)
     )
     back_b = sum(
         (F.shiftrightunsigned(F.col("z"), 2 * i + 1) % 2 * (1 << i))
-        for i in range(16)
+        for i in range(31)
     )
     bad = lf.where(
         (back_a != F.col("l_partkey")) | (back_b != F.col("l_suppkey"))
@@ -445,6 +445,28 @@ def test_zvalue_interleave_roundtrip(spark, sf_dir):
     assert bad == 0
     # and distinct pairs -> distinct z
     assert lf.select("z").distinct().count() == lf.count()
+
+
+def test_zvalue_exact_beyond_16_bits(spark):
+    """Keys above 65535 must interleave without aliasing (the old
+    16-bit default collapsed them — l_partkey exceeds 65535 at
+    sf >= ~0.33, far below target scale)."""
+    from infofarmsparkml_spark.operators.scans import zvalue
+
+    pairs = [(70000, 3), (70000, 70001), (2**30, 2**30 - 1), (123456789, 7)]
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", zvalue("a", "b")
+    )
+    back_a = sum(
+        (F.shiftrightunsigned(F.col("z"), 2 * i) % 2 * (1 << i))
+        for i in range(31)
+    )
+    back_b = sum(
+        (F.shiftrightunsigned(F.col("z"), 2 * i + 1) % 2 * (1 << i))
+        for i in range(31)
+    )
+    assert df.where((back_a != F.col("a")) | (back_b != F.col("b"))).count() == 0
+    assert df.select("z").distinct().count() == len(pairs)
 
 
 def test_incremental_dedup_admits_only_new_fingerprints(spark, sf_dir):

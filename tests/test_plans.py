@@ -87,6 +87,29 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
 
 
+def test_sort_multi_no_global_window_of_orders(spark, sf_dir):
+    df = q("sort_multi")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the heavy orders data range-partitions; its rank window is
+    # partitioned by _pid. The ONLY SinglePartition exchange allowed
+    # is the O(n_parts)-row offsets cumsum after the per-partition
+    # count aggregate — never the orders rows themselves.
+    assert "rangepartitioning" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
+    if "Exchange SinglePartition" in plan:
+        # the tree prints top-down, so the exchange's CHILD (the
+        # tiny per-partition count aggregate) must appear in the
+        # lines just below it — i.e. only aggregated rows are
+        # single-partitioned, never the orders table
+        lines = plan.splitlines()
+        (idx,) = [
+            i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+        ]
+        below = "\n".join(lines[idx + 1 : idx + 4])
+        assert "HashAggregate" in below, below
+
+
 def test_sort_range_partitioned_no_global_window(spark, sf_dir):
     df = q("sort_range_partitioned")(spark, sf_dir)
     plan = explain_str(df, "simple")
@@ -275,3 +298,67 @@ def test_topk_windows_get_group_limit_pushdown(spark, sf_dir):
     for name in ("win_topk_per_group", "llm_lang_id"):
         plan = explain_str(q(name)(spark, sf_dir), "simple")
         assert "WindowGroupLimit" in plan, (name, plan[:2000])
+
+
+def test_minhash_lsh_banded_plan_shape(spark, sf_dir):
+    """The two 100-TB claims of the banded-LSH rewrite, pinned in
+    the physical plan (r3 verdict: proven only by output hash until
+    now): (1) ALL b*r minhashes come out of ONE aggregate — a
+    single doc_id shuffle per signature materialization, never a
+    shuffle per hash function; (2) candidates are generated inside
+    band buckets only — no all-pairs join shape anywhere."""
+    import re
+
+    from infofarmsparkml_spark.operators.llm import (
+        _MINHASH_BANDS,
+        _MINHASH_ROWS,
+    )
+
+    # long aggregate lists are elided at the default
+    # maxToStringFields — raise it so the functions=[...] lists
+    # print in full for the count assertion
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    try:
+        df = q("llm_minhash_lsh_dedup")(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    # (2) no all-pairs: every join is equi (hash/broadcast-hash on
+    # doc_id or the band key), never nested-loop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"doc_id", "band", "bk"}, keys
+    # (1) each signature aggregate computes all b*r mins at once
+    # (the old per-band branch form let Catalyst prune it into b
+    # separate 8-min aggregates = 2b explode+shuffle passes)
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    sig_aggs = [
+        seg
+        for seg in re.findall(r"functions=\[([^\]]*)\]", plan)
+        if "min(xxhash64" in seg
+    ]
+    assert sig_aggs, plan[:3000]
+    for seg in sig_aggs:
+        assert seg.count("min(xxhash64") == k, seg[:800]
+
+
+def test_doc_pack_heavy_window_is_sharded(spark, sf_dir):
+    """llm_doc_pack's two-level prefix sum, pinned in the plan (r3
+    verdict ask): the data-sized window must partition on
+    (lang, _sub) — bounded <=4096-row tasks — with the per-range
+    offsets joined back by broadcast; no row of documents may cross
+    a SinglePartition exchange."""
+    df = q("llm_doc_pack")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    heavy = [s for s in specs if "doc_id" in s]
+    assert heavy, specs
+    for s in heavy:
+        assert "lang" in s and "_sub" in s, s
+    assert "BroadcastHashJoin" in plan, plan[:3000]
