@@ -1,19 +1,30 @@
 """Time-series operators over the events table (SURVEY.md §2
 extensions): dense gap-fill with last-observation-carried-forward,
-and OHLC resampling — the hypertable-rollup shapes a metrics /
-market-data pipeline runs continuously.
+OHLC resampling, linear interpolation, finite-window EWMA smoothing
+and rolling lag-1 correlation — the hypertable-rollup and
+rolling-statistics shapes a metrics / market-data pipeline runs
+continuously.
 
-Scale posture: both operators shuffle once on the series key
-(user_id). The gap-fill spine is generated per key from that key's
-own [min, max] hour range (`sequence` + `explode`), so spine size is
-bounded by each series' span — never a global calendar cross join.
-LOCF is `last(ignorenulls)` over one running frame — a single window
-on a single user_id exchange, no self-join (the DuckDB oracle uses
-the portable fill-group formulation). OHLC is a single hash aggregate
-with min_by/max_by over a zero-padded (ts, event_id) string key, so
-first/last are deterministic under ties and identical to the
-DuckDB oracle's arg_min/arg_max on the same key.
-"""
+Scale posture: every operator shuffles once on the series key
+(user_id). The gap-fill / interpolation spine is generated per key
+from that key's own [min, max] hour range (`sequence` + `explode`),
+so spine size is bounded by each series' span — never a global
+calendar cross join. LOCF is `last(ignorenulls)` over one running
+frame — a single window on a single user_id exchange, no self-join
+(the DuckDB oracle uses the portable fill-group formulation). OHLC
+is a single hash aggregate with min_by/max_by over a zero-padded
+(ts, event_id) string key, so first/last are deterministic under
+ties and identical to the DuckDB oracle's arg_min/arg_max on the
+same key.
+
+Determinism discipline for the rolling ops: events.value carries ≤2
+decimal digits, so `round(value*100)` is an EXACT integer
+(_util.cents). EWMA and rolling-corr accumulate ONLY exact BIGINT
+moments inside their window frames (order-free, overflow-bounded)
+and form the final double in one identical expression on both
+engines — float summation order can never differ, so the hashes are
+bit-stable at any scale factor. EWMA's decay is 1/2 on purpose:
+2^-k weights are exact binary scalings, never a pow() ulp."""
 
 from __future__ import annotations
 
@@ -161,4 +172,260 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.round(score, 3).alias("zscore"),
         )
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+edged AS (
+  SELECT s.user_id, s.h, hv.vc,
+         last_value(hv.vc IGNORE NULLS) OVER wb AS prev_vc,
+         last_value(CASE WHEN hv.vc IS NOT NULL THEN s.h END IGNORE NULLS)
+           OVER wb AS prev_h,
+         first_value(hv.vc IGNORE NULLS) OVER wf AS next_vc,
+         first_value(CASE WHEN hv.vc IS NOT NULL THEN s.h END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM spine s LEFT JOIN hourly hv ON s.user_id = hv.user_id AND s.h = hv.h
+  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY s.user_id ORDER BY s.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, h AS hour, (vc IS NOT NULL) AS observed,
+       CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE) / 100.0
+            ELSE floor((prev_vc + (next_vc - prev_vc)
+                        * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                           / date_diff('hour', prev_h, next_h)))
+                       * 100.0 + 0.5) / 10000.0 END AS v_interp
+FROM edged WHERE vc IS NOT NULL OR (prev_vc IS NOT NULL AND next_vc IS NOT NULL)
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's hourly series over its own [first, last]
+    hour and LINEARLY interpolate silent hours between the bracketing
+    observations (vs LOCF's step fill). One user_id exchange serves
+    the spine join and both directional windows. Exactness: hourly
+    sums are accumulated in integer cents (order-free); the
+    interpolation fraction is a ratio of integer hour counts; the
+    single double expression is evaluated in the same op order on
+    both engines, so no float-summation drift exists to round away.
+    Observed rows pass through their own value (fraction = 0/n)."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents
+
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(cents("value")).alias("vc"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("vc").isNotNull(), F.col("h"))
+    edged = joined.select(
+        "user_id",
+        "h",
+        "vc",
+        F.last("vc", ignorenulls=True).over(wb).alias("prev_vc"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("prev_h"),
+        F.first("vc", ignorenulls=True).over(wf).alias("next_vc"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — integer hour delta
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("long")
+    frac = hours("prev_h", F.col("h")).cast("double") / hours(
+        "prev_h", F.col("next_h")
+    )
+    v_cents = F.col("prev_vc") + (F.col("next_vc") - F.col("prev_vc")) * frac
+    # Observed rows pass through exactly (their interpolation fraction
+    # would be 0/0 — CASE keeps ANSI division-by-zero out of the plan).
+    # Interpolated values can land EXACTLY on a .00005 boundary (cents
+    # × a dyadic fraction), where Spark's ROUND goes half-up and
+    # DuckDB's half-even — so both sides round via the same explicit
+    # floor(x·100 + 0.5) half-up on the cents value instead.
+    v_interp = F.when(
+        F.col("vc").isNotNull(), F.col("vc").cast("double") / F.lit(100.0)
+    ).otherwise(
+        F.floor(v_cents * F.lit(100.0) + F.lit(0.5)).cast("double")
+        / F.lit(10000.0)
+    )
+    return edged.filter(
+        F.col("vc").isNotNull()
+        | (F.col("prev_vc").isNotNull() & F.col("next_vc").isNotNull())
+    ).select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.col("vc").isNotNull().alias("observed"),
+        v_interp.alias("v_interp"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events),
+fr AS (
+  SELECT user_id, event_id, ts,
+         list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+  FROM c)
+SELECT user_id, event_id, ts,
+       floor(CAST(list_sum([vs[i] * CAST(pow(2, 9 - len(vs) + i) AS BIGINT)
+                            for i in range(1, len(vs) + 1)]) AS DOUBLE)
+             / (pow(2, 10) - pow(2, 10 - len(vs))) / 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM fr
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 1/2, finite
+    10-event window) of each user's value stream. One bounded window
+    frame on one user_id exchange — O(1) state per row, the
+    streaming-smoother shape. Bit-exact across engines by
+    construction: frame values are exact integer cents, weights are
+    exact powers of two (numerator Σ vc_i·2^(i-1) ≤ 49k·512·10 —
+    integer, order-free), the denominator 2^10−2^(10−n) is closed
+    form, and the only float op is one identical division chain."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vs = F.collect_list(cents("value").cast("long")).over(w)
+    df = ev.select("user_id", "event_id", "ts", vs.alias("vs"))
+    n = F.size("vs")
+    # pow(2.0, e) for e in [0, 10] is exact in IEEE double, so the
+    # cast back to long is the exact 2^e (shiftleft needs a literal
+    # shift amount; pow takes a column).
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.sequence(F.lit(1), n),
+            lambda v, i: v
+            * F.pow(F.lit(2.0), (F.lit(9) - n + i).cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.pow(F.lit(2.0), 10) - F.pow(
+        F.lit(2.0), (F.lit(10) - n).cast("double")
+    )
+    # Dyadic num/den ratios CAN land exactly on a .0000005 decimal
+    # boundary where the engines' ROUND half-modes differ — round
+    # half-up explicitly with the same floor(x·1e6 + 0.5) both sides.
+    ewma = (
+        F.floor(
+            num.cast("double") / den / F.lit(100.0) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return df.select("user_id", "event_id", "ts", ewma.alias("ewma"))
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, x,
+         lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM c),
+mo AS (
+  SELECT user_id, event_id, ts,
+         COUNT(y) OVER w AS n,
+         SUM(CASE WHEN y IS NOT NULL THEN x END) OVER w AS sx,
+         SUM(y) OVER w AS sy,
+         SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS sxx,
+         SUM(y * y) OVER w AS syy,
+         SUM(x * y) OVER w AS sxy
+  FROM lagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, ts,
+       ROUND((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 4) AS lag1_corr
+FROM mo
+WHERE n >= 4 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation: each event's value correlated
+    against the previous event's value over the trailing 6-pair
+    frame — the mean-reversion / trend-persistence probe of a
+    metrics pipeline. Two windows over ONE user_id exchange (lag,
+    then bounded-frame moments). All five moments are exact BIGINT
+    window sums (cents ≤ 49k → Σx·y ≤ ~1.4e10, far inside long);
+    the Pearson form n·Σxy−ΣxΣy over √(n·Σx²−(Σx)²) is computed
+    from those exact integers in one identical double expression,
+    so both engines produce the same bits — no one-pass/Welford
+    formula drift, no frame-order float accumulation."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents
+
+    ordw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents("value").cast("long").alias("x"),
+    ).withColumn("y", F.lag("x").over(ordw))
+    w = ordw.rowsBetween(-5, 0)
+    xy = F.when(F.col("y").isNotNull(), F.col("x"))
+    mo = lagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("y").over(w).alias("n"),
+        F.sum(xy).over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(xy * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mo.filter(
+        (F.col("n") >= 4) & (varx > 0) & (vary > 0)
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            cov / F.sqrt(varx.cast("double")) / F.sqrt(vary.cast("double")), 4
+        ).alias("lag1_corr"),
     )

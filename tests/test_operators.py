@@ -516,3 +516,83 @@ def test_aes_roundtrip_all_ok_and_gcm_mode(spark, sf_dir):
         ).alias("pt")
     )
     assert df.collect()[0]["pt"] == "secret"
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    """ts_ewma vs an independent pure-Python finite-window EWMA
+    (decay 1/2 over the trailing 10 events) for every user."""
+    from collections import defaultdict
+
+    rows = q("ts_ewma")(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    series = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series[r.user_id].append((r.event_id, round(r.value * 100)))
+    expect = {}
+    for uid, evs in series.items():
+        for i in range(len(evs)):
+            frame = evs[max(0, i - 9) : i + 1]
+            n = len(frame)
+            num = sum(vc * 2 ** (9 - n + j + 1) for j, (_, vc) in enumerate(frame))
+            den = 2**10 - 2 ** (10 - n)
+            expect[(uid, evs[i][0])] = num / den / 100.0
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert abs(r.ewma - expect[(r.user_id, r.event_id)]) < 1e-6, (
+            r.user_id,
+            r.event_id,
+        )
+
+
+def test_rolling_corr_matches_pandas(spark, sf_dir):
+    """ts_rolling_corr vs pandas' rolling(6).corr of (value, lag value)
+    per user — independent formula (two-pass) so agreement within
+    1e-6 after rounding checks the moment algebra."""
+    import pandas as pd
+
+    got = {
+        (r.user_id, r.event_id): r.lag1_corr
+        for r in q("ts_rolling_corr")(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        x = g.value.round(2)
+        y = x.shift(1)
+        corr = x.rolling(6, min_periods=4).corr(y)
+        for eid, c in zip(g.event_id, corr):
+            if (uid, eid) in got and pd.notna(c) and abs(abs(c) - 1) > 1e-9:
+                assert abs(got[(uid, eid)] - c) < 5e-5, (uid, eid, c)
+                checked += 1
+    assert checked > 50
+
+
+def test_interpolate_linear_invariants(spark, sf_dir):
+    """Interpolated hours sit strictly between their bracketing
+    observations; observed hours reproduce the hourly sum; the
+    output is dense over each user's [first, last] hour."""
+    rows = q("ts_interpolate_linear")(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user) > 10
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour)
+        # dense: hour steps of exactly 1h, endpoints observed
+        hours = [r.hour for r in rs]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        )
+        assert rs[0].observed and rs[-1].observed
+        obs = [(i, r.v_interp) for i, r in enumerate(rs) if r.observed]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-6 <= rs[j].v_interp <= hi + 1e-6
