@@ -13,6 +13,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     joins,
     llm,
     llm_curation,
+    matching,
     ml,
     multimodal,
     pipeline,

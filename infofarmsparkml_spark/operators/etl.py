@@ -385,3 +385,141 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment"
     )
     return untouched.unionByName(applied)
+
+
+@query(
+    "etl_incremental_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / COUNT(*) AS avg_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per-priority order
+    stats computed as MERGEABLE PARTIALS on a base partition
+    (orderdate < 1999) and a delta partition separately, then
+    combined by partial-merge algebra (Σn, Σsum, min-of-min,
+    max-of-max; AVG re-derived from merged sums) — never by
+    rescanning the base. The oracle recomputes from scratch over the
+    full table, proving merge(partials) ≡ recompute. This is the
+    refresh pattern that keeps a 100 TB rollup current at delta
+    cost: each partial is a map-side-combinable hash aggregate, the
+    merge is a shuffle over |groups| rows. Money sums ride exact
+    integer cents end-to-end so the merged double equals the
+    recomputed one bit-for-bit."""
+    from infofarmsparkml_spark.operators._util import cents, ts_lit
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = ts_lit("1999-01-01")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("o_totalprice")).alias("sum_c"),
+            F.min("o_orderdate").alias("d0"),
+            F.max("o_orderdate").alias("d1"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_c").alias("sum_c"),
+            F.min("d0").alias("first_order"),
+            F.max("d1").alias("last_order"),
+        )
+    )
+    total = F.col("sum_c").cast("double") / F.lit(100.0)
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        total.alias("total_price"),
+        (total / F.col("n")).alias("avg_price"),
+        "first_order",
+        "last_order",
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+SELECT * FROM (
+  SELECT 'orders.o_custkey->customer' AS fk,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the three fact→dim edges —
+    the referential check run before promoting a landed partition.
+    Each edge is ONE broadcast left join (dims are the small side)
+    plus a global count/sum — the fact table is scanned once per
+    edge with only the key column read (column pruning), no shuffle
+    beyond the final single-row aggregate. Built on a reusable
+    helper (`fk_orphan_audit`) unit-tested with planted orphans."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    audits = [
+        fk_orphan_audit(
+            orders, "o_custkey", customer, "c_custkey",
+            "orders.o_custkey->customer",
+        ),
+        fk_orphan_audit(
+            lineitem, "l_partkey", part, "p_partkey",
+            "lineitem.l_partkey->part",
+        ),
+        fk_orphan_audit(
+            lineitem, "l_suppkey", supplier, "s_suppkey",
+            "lineitem.l_suppkey->supplier",
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def fk_orphan_audit(
+    fact: DataFrame,
+    fk: str,
+    dim: DataFrame,
+    pk: str,
+    label: str,
+) -> DataFrame:
+    """One FK edge audit: broadcast the dimension keys, left-join the
+    fact's FK column, count rows and unmatched rows. Null FKs count
+    as orphans (a null reference is still a dangling edge)."""
+    joined = fact.select(fk).join(
+        F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(pk).isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_orphans"),
+    ).select(F.lit(label).alias("fk"), "n_rows", "n_orphans")

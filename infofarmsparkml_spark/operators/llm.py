@@ -1018,3 +1018,93 @@ def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+@query(
+    "llm_ngram_containment",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(string_split(text,' ')[i:i+3], ' ')
+                        for i in range(1, len(string_split(text,' ')) - 2)])
+           AS g4
+  FROM documents),
+exploded AS (SELECT doc_id, unnest(g4) AS g FROM grams),
+rare AS (SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 5),
+cand AS (
+  SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+  FROM exploded ea JOIN rare r ON ea.g = r.g
+       JOIN exploded eb ON eb.g = r.g AND ea.doc_id < eb.doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.g4, b.g4)) AS DOUBLE) / len(a.g4) AS ca,
+         CAST(len(list_intersect(a.g4, b.g4)) AS DOUBLE) / len(b.g4) AS cb
+  FROM cand c JOIN grams a ON a.doc_id = c.doc_a
+       JOIN grams b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CASE WHEN ca >= cb THEN ca ELSE cb END, 6) AS containment
+FROM scored WHERE (CASE WHEN ca >= cb THEN ca ELSE cb END) >= 0.6
+""",
+)
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided n-gram CONTAINMENT (max of the two directed
+    |A∩B|/|side| ratios) with RARE-SHINGLE blocking — the
+    partial-duplication probe Jaccard misses: a document embedded in
+    a larger one scores ~1.0 here while its Jaccard stays low.
+    Candidate generation is the scale path itself: explode token
+    4-grams, keep only shingles appearing in ≤5 documents (hub
+    shingles carry no discriminating signal and would quadratically
+    explode the pair space), and pair documents sharing a rare
+    shingle — one shuffle on the shingle key, candidate count
+    bounded by 5·|rare shingles|, NEVER all-pairs. Any duplicate
+    pair sharing ≥1 rare shingle is found; verification recomputes
+    exact containment on the full shingle sets (integer set sizes,
+    one division — bit-stable across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 3),
+                lambda i: F.array_join(F.slice(toks, i, 4), " "),
+            )
+        ).alias("g4"),
+    )
+    exploded = grams.select("doc_id", F.explode("g4").alias("g"))
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 5)
+        .select("g")
+    )
+    ea = exploded.join(rare, "g").alias("ea")
+    eb = exploded.join(rare, "g").alias("eb")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("ea.g") == F.col("eb.g"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select(
+            F.col("ea.doc_id").alias("doc_a"),
+            F.col("eb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g4").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g4").alias("gb"))
+    shared = F.size(F.array_intersect("ga", "gb")).cast("double")
+    ca = shared / F.size("ga")
+    cb = shared / F.size("gb")
+    cont = F.when(ca >= cb, ca).otherwise(cb)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.6)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+        )
+    )

@@ -263,3 +263,123 @@ def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
     payloads = docs.mapInPandas(_encode_batch, "doc_id long, payload binary")
     return payloads.mapInPandas(_resize_batch, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, byte_offset int, "
+    "frame_bytes int, frame_status string"
+)
+
+
+def _synth_video(doc_id: int, text: bytes) -> bytes:
+    """Deterministic fake video container: a parseable text header
+    `VID\\n<w> <h> <n_frames>\\n` followed by n_frames raw frames of
+    w*h*3 bytes. Byte 0 of frame k is the marker k % 256 (so a
+    mis-computed offset reads a misaligned byte and fails loudly);
+    the rest is the doc text tiled."""
+    w, h, n = 4 + doc_id % 6, 3 + doc_id % 5, 16 + doc_id % 48
+    frame_len = 3 * w * h
+    fill = text or b"\x00"
+    body = (fill * (frame_len // len(fill) + 1))[: frame_len - 1]
+    frames = b"".join(bytes([k % 256]) + body for k in range(n))
+    return f"VID\n{w} {h} {n}\n".encode() + frames
+
+
+def _frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-batch frame sampling: parse the container header, slice
+    every 4th frame out of the real payload bytes, and verify each
+    sampled frame's index marker — the pyav keyframe-sampling shape
+    with the codec swapped for a deterministic stdlib parser."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            magic, dims, rest = raw.split(b"\n", 2)
+            if magic != b"VID":
+                rows.append((int(doc_id), 0, -1, -1, -1, "corrupt"))
+                continue
+            w, h, n = (int(x) for x in dims.split())
+            frame_len = 3 * w * h
+            header_len = len(raw) - n * frame_len
+            for k in range(0, n, 4):
+                off = header_len + k * frame_len
+                frame = raw[off : off + frame_len]
+                ok = (
+                    "ok"
+                    if len(frame) == frame_len and frame[0] == k % 256
+                    else "bad_marker"
+                )
+                rows.append((int(doc_id), n, k, off, len(frame), ok))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "frame_idx", "byte_offset",
+                "frame_bytes", "frame_status",
+            ],
+        ).astype(
+            {
+                c: "int32"
+                for c in ("n_frames", "frame_idx", "byte_offset", "frame_bytes")
+            }
+        )
+
+
+def _encode_video_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    _synth_video(int(i), t.encode("utf-8"))
+                    for i, t in zip(pdf["doc_id"], pdf["text"].fillna(""))
+                ],
+            }
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         4 + doc_id % 6 AS w,
+         3 + doc_id % 5 AS h,
+         16 + doc_id % 48 AS n
+  FROM documents),
+hdr AS (
+  SELECT doc_id, n, 3 * w * h AS frame_len,
+         length('VID' || chr(10) || CAST(w AS VARCHAR) || ' '
+                || CAST(h AS VARCHAR) || ' ' || CAST(n AS VARCHAR)
+                || chr(10)) AS header_len
+  FROM v)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_frames,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(header_len + k * frame_len AS INTEGER) AS byte_offset,
+       CAST(frame_len AS INTEGER) AS frame_bytes,
+       'ok' AS frame_status
+FROM hdr, UNNEST(range(0, n, 4)) AS t(k)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary media columns: synthesize
+    each doc's frame container in the workers, parse the header,
+    slice every 4th frame out of the actual bytes, and check each
+    frame's index marker — one mapInPandas chain, payloads columnar
+    in Arrow end to end, output exploded to one row per sampled
+    frame (the fan-out a real keyframe extractor produces). The
+    oracle independently predicts frame count, byte offsets and
+    sizes per doc, so off-by-one slicing or header arithmetic fails
+    the hash; the in-kernel marker check additionally pins the
+    CONTENT at each offset, which no size oracle could see. A real
+    pyav/ffmpeg decode drops into `_frame_sample_batch` with the
+    same schema and partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _encode_video_batch, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_frame_sample_batch, _FRAME_SCHEMA)

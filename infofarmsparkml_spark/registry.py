@@ -95,6 +95,11 @@ _PRIORITY: list[str] = [
     # never-checked: fn packs
     "fn_pseudonymize", "fn_url", "fn_fuzzy_match",
     # ---- position 51+: round-5 queue (not in this round's slate) --
+    # round-4 additions (all SQL-oracled, never driver-checked)
+    "ts_interpolate_linear", "ts_ewma", "ts_rolling_corr",
+    "join_spatial_grid", "er_sorted_neighborhood",
+    "llm_ngram_containment", "etl_incremental_agg",
+    "dq_referential_integrity", "mm_frame_sample",
     # sort_multi re-witness (O1 rewritten to two-level rank in r4)
     "sort_multi",
     # remaining never-checked SQL-oracled

@@ -596,3 +596,86 @@ def test_interpolate_linear_invariants(spark, sf_dir):
             lo, hi = min(v0, v1), max(v0, v1)
             for j in range(i0 + 1, i1):
                 assert lo - 1e-6 <= rs[j].v_interp <= hi + 1e-6
+
+
+def test_spatial_grid_matches_brute_force(spark, sf_dir):
+    """Grid-bucketed distance join vs an in-Spark brute-force cross
+    join: identical pair sets — the 3x3 neighborhood probe loses
+    nothing at the cell boundary."""
+    got = {
+        (r.key_a, r.key_b, r.dist2)
+        for r in q("join_spatial_grid")(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 37) % 1000).alias("x"),
+        ((F.col("c_custkey") * 91) % 1000).alias("y"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    brute = {
+        (r.key_a, r.key_b, r.dist2)
+        for r in a.join(b, F.col("a.k") < F.col("b.k"))
+        .filter(d2 <= 225)
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            d2.cast("long").alias("dist2"),
+        )
+        .collect()
+    }
+    assert got == brute
+
+
+def test_frame_sample_markers_and_stride(spark, sf_dir):
+    """Every sampled frame's in-band index marker must verify (the
+    slicing arithmetic touched the right bytes), and the per-doc
+    sample count must be ceil(n_frames / 4)."""
+    rows = q("mm_frame_sample")(spark, sf_dir).collect()
+    assert rows and all(r.frame_status == "ok" for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in per_doc.items():
+        n = rs[0].n_frames
+        assert len(rs) == (n + 3) // 4, (doc_id, n, len(rs))
+        assert sorted(r.frame_idx for r in rs) == list(range(0, n, 4))
+
+
+def test_ngram_containment_finds_planted_dups(spark, sf_dir):
+    """The fixture plants near-duplicate documents; rare-shingle
+    blocking must surface them with containment 1.0, and everything
+    emitted clears the 0.6 floor."""
+    rows = q("llm_ngram_containment")(spark, sf_dir).collect()
+    assert rows, "no containment pairs found"
+    assert all(r.containment >= 0.6 for r in rows)
+    assert any(r.containment == 1.0 for r in rows)
+
+
+def test_incremental_agg_equals_direct_recompute(spark, sf_dir):
+    """merge(partial(base), partial(delta)) == recompute(all) —
+    the invariant that makes incremental refresh sound."""
+    got = {
+        r.o_orderpriority: (r.n_orders, r.total_price, r.first_order, r.last_order)
+        for r in q("etl_incremental_agg")(spark, sf_dir).collect()
+    }
+    direct = {
+        r.o_orderpriority: (r.n, r.tp, r.d0, r.d1)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("tp"),
+            F.min("o_orderdate").alias("d0"),
+            F.max("o_orderdate").alias("d1"),
+        )
+        .collect()
+    }
+    assert got == direct

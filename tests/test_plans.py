@@ -362,3 +362,89 @@ def test_doc_pack_heavy_window_is_sharded(spark, sf_dir):
     for s in heavy:
         assert "lang" in s and "_sub" in s, s
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_spatial_grid_join_is_equi_join(spark, sf_dir):
+    """The grid bucketing must surface as an EQUI join on the cell
+    key — never a nested-loop/cartesian over the point set."""
+    plan = explain_str(q("join_spatial_grid")(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_er_sorted_neighborhood_window_is_blocked(spark, sf_dir):
+    """The neighbor window must partition on the (lang, source)
+    block key — a global sort would serialize the corpus — and the
+    candidate pass must not contain any self-join."""
+    plan = explain_str(q("er_sorted_neighborhood")(spark, sf_dir), "simple")
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        frag = m.group(0)
+        assert "lang" in frag and "source" in frag, frag
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_incremental_agg_partials_are_map_side(spark, sf_dir):
+    """Both the base/delta partials and the merge must be two-phase
+    hash aggregates (partial + final) — the mergeable-partials
+    algebra is what makes the refresh delta-cost."""
+    plan = explain_str(q("etl_incremental_agg")(spark, sf_dir), "simple")
+    assert "partial_sum" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_referential_integrity_broadcasts_dims(spark, sf_dir):
+    """Each FK edge audit must broadcast its dimension side and scan
+    only the FK column from the fact."""
+    df = q("dq_referential_integrity")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan[:3000]
+    fplan = explain_str(df)
+    read = [ln for ln in fplan.splitlines()
+            if "ReadSchema" in ln and ("l_partkey" in ln or "l_suppkey" in ln)]
+    assert read and all("l_comment" not in ln and "l_quantity" not in ln
+                        for ln in read), read
+
+
+def test_runtime_bloom_filter_injectable(spark, sf_dir):
+    """100-TB posture: with runtime bloom filters on (and broadcast
+    suppressed so the shuffle-join path is exercised, as it would be
+    for a dim too big to broadcast), Catalyst must inject a
+    bloom_filter_agg built from the filtered orders side into the
+    lineitem scan — the runtime semi-join reduction that cuts fact
+    shuffle volume when a selective dim filter can't be broadcast.
+    The application-side size threshold is zeroed because the gate
+    is scan bytes (default 10 GB) — at fixture scale nothing would
+    trigger; the PLAN SHAPE is what this pins."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = explain_str(j, "simple")
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
