@@ -202,3 +202,75 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rn")).alias("price_rank"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+purch AS (SELECT * FROM e WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+joined AS (
+  SELECT p.event_id, p.user_id, p.us,
+         COUNT(t.event_id) AS n_touches,
+         arg_min(t.event_type, printf('%020d-%020d', t.us, t.event_id))
+           AS first_touch_type,
+         arg_max(t.event_type, printf('%020d-%020d', t.us, t.event_id))
+           AS last_touch_type
+  FROM purch p LEFT JOIN touch t
+    ON p.user_id = t.user_id
+   AND t.us BETWEEN p.us - 259200000000 AND p.us - 1
+  GROUP BY p.event_id, p.user_id, p.us)
+SELECT event_id, user_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       first_touch_type, last_touch_type
+FROM joined
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch marketing attribution: each purchase is
+    credited to the earliest and latest view/click by the same user
+    inside a 3-day lookback. Spark plan: NO purchase×touch join —
+    one range-frame window (`rangeBetween(-3 days, -1 µs)` over
+    unix_micros) on a single user_id exchange computes
+    min/max-struct and touch count in the same pass, then only
+    purchase rows project out. The oracle is the O(n·w) relational
+    twin (range self-join + arg_min/arg_max on the identical
+    (µs, event_id) total order). At 100 TB the window form scans
+    events once and keeps state bounded by the lookback, where the
+    self-join would re-shuffle both sides and explode hot users."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch_struct = F.when(
+        is_touch, F.struct(F.col("us"), F.col("event_id"), F.col("event_type"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-259200000000, -1)
+    )
+    scored = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.when(is_touch, F.lit(1))).over(w).alias("n_touches"),
+        F.min(touch_struct).over(w).alias("ft"),
+        F.max(touch_struct).over(w).alias("lt"),
+    )
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "n_touches",
+        F.col("ft.event_type").alias("first_touch_type"),
+        F.col("lt.event_type").alias("last_touch_type"),
+    )

@@ -429,3 +429,65 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov / F.sqrt(varx.cast("double")) / F.sqrt(vary.cast("double")), 4
         ).alias("lag1_corr"),
     )
+
+
+@query(
+    "ts_trend_slope",
+    oracle="""
+WITH c AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+           - 473352 AS h,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+mo AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(h) AS sx, SUM(y) AS sy,
+         SUM(h * h) AS sxx, SUM(h * y) AS sxy
+  FROM c GROUP BY user_id)
+SELECT user_id, n,
+       ROUND((n * sxy - sx * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 8)
+         AS slope_per_hour
+FROM mo WHERE n >= 2 AND n * sxx - sx * sx > 0
+""",
+)
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend detection: ordinary-least-squares slope of
+    value against time, one slope per user, via a SINGLE
+    partial-aggregable hash aggregate over the exact integer moments
+    (n, Σx, Σy, Σx², Σxy) — no window, no sort, the cheapest
+    possible shape for fitting millions of series at once (map-side
+    combine does most of the work; the shuffle carries 5 numbers per
+    series). x is whole hours since 2024-01-01 (473352 h since
+    epoch) to keep Σx² inside BIGINT for up to ~10⁵ points per
+    series — beyond that, ANSI mode fails loudly rather than
+    silently wrapping. The slope is one double division from exact
+    integers: bit-identical on both engines. Degenerate series (all
+    points in one hour) are filtered, keeping ANSI division happy."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents
+
+    h = (F.floor(F.unix_micros(F.col("ts")) / F.lit(3600000000)) - 473352).cast(
+        "long"
+    )
+    c = ev.select(
+        "user_id", h.alias("h"), cents("value").cast("long").alias("y")
+    )
+    mo = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("h") * F.col("h")).alias("sxx"),
+        F.sum(F.col("h") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mo.filter((F.col("n") >= 2) & (varx > 0)).select(
+        "user_id",
+        "n",
+        F.round(cov / varx.cast("double") / F.lit(100.0), 8).alias(
+            "slope_per_hour"
+        ),
+    )

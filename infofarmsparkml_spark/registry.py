@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "join_spatial_grid", "er_sorted_neighborhood",
     "llm_ngram_containment", "etl_incremental_agg",
     "dq_referential_integrity", "mm_frame_sample",
+    "events_attribution", "ts_trend_slope",
     # sort_multi re-witness (O1 rewritten to two-level rank in r4)
     "sort_multi",
     # remaining never-checked SQL-oracled

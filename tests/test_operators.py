@@ -679,3 +679,51 @@ def test_incremental_agg_equals_direct_recompute(spark, sf_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_attribution_covers_all_purchases(spark, sf_dir):
+    """One output row per purchase; touch types are null exactly
+    when the lookback window was empty; both touch types are real
+    touch types."""
+    out = q("events_attribution")(spark, sf_dir).collect()
+    n_purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(out) == n_purch
+    for r in out:
+        if r.n_touches == 0:
+            assert r.first_touch_type is None and r.last_touch_type is None
+        else:
+            assert r.first_touch_type in ("view", "click")
+            assert r.last_touch_type in ("view", "click")
+    assert any(r.n_touches > 0 for r in out)
+
+
+def test_trend_slope_matches_numpy(spark, sf_dir):
+    """OLS slope from exact integer moments vs numpy.polyfit on the
+    raw series — independent formulation, 1e-6 absolute agreement
+    (slopes are cents-scale per hour)."""
+    import numpy as np
+
+    got = {
+        r.user_id: (r.n, r.slope_per_hour)
+        for r in q("ts_trend_slope")(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .toPandas()
+    )
+    ev["h"] = (ev.ts.astype("int64") // 10**3 // 3600000000) - 473352
+    checked = 0
+    for uid, g in ev.groupby("user_id"):
+        if uid not in got or g.h.nunique() < 2:
+            continue
+        slope = np.polyfit(g.h.to_numpy(float), g.value.round(2).to_numpy(), 1)[0]
+        n, s = got[uid]
+        assert n == len(g)
+        assert abs(s - slope) < 1e-6, (uid, s, slope)
+        checked += 1
+    assert checked > 5
