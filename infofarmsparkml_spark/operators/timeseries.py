@@ -212,73 +212,61 @@ FROM edged WHERE vc IS NOT NULL OR (prev_vc IS NOT NULL AND next_vc IS NOT NULL)
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify each user's hourly series over its own [first, last]
     hour and LINEARLY interpolate silent hours between the bracketing
-    observations (vs LOCF's step fill). One user_id exchange serves
-    the spine join and both directional windows. Exactness: hourly
-    sums are accumulated in integer cents (order-free); the
-    interpolation fraction is a ratio of integer hour counts; the
-    single double expression is evaluated in the same op order on
-    both engines, so no float-summation drift exists to round away.
-    Observed rows pass through their own value (fraction = 0/n)."""
+    observations (vs LOCF's step fill). Spark plan: ONE small lead()
+    window over the OBSERVED hourly rows builds (prev, next) segment
+    endpoints, then each segment explodes directly into its gap
+    hours with both endpoints already attached — the dense spine is
+    never sorted or windowed (the first formulation windowed the
+    exploded spine: 13M-row sort + 4 running aggregates at sf0.1,
+    3x slower, and the window state would keep growing with series
+    span at 100 TB; segment-explode keeps the heavy row count
+    strictly post-window). Exactness: hourly sums are integer cents,
+    the fraction is a ratio of integer hour counts, and interpolated
+    values round half-up via the same explicit floor(x·100 + 0.5) on
+    both engines (they CAN land exactly on .00005 boundaries — cents
+    × a dyadic fraction — where native ROUND half-modes differ)."""
     ev = load_table(spark, sf_dir, "events")
     from infofarmsparkml_spark.operators._util import cents
 
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(cents("value")).alias("vc"))
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    spine = bounds.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
-    )
-    joined = spine.join(hourly, ["user_id", "h"], "left")
-    wb = (
-        W.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wf = (
-        W.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    obs_h = F.when(F.col("vc").isNotNull(), F.col("h"))
-    edged = joined.select(
+    w = W.partitionBy("user_id").orderBy("h")
+    seg = hourly.select(
         "user_id",
         "h",
         "vc",
-        F.last("vc", ignorenulls=True).over(wb).alias("prev_vc"),
-        F.last(obs_h, ignorenulls=True).over(wb).alias("prev_h"),
-        F.first("vc", ignorenulls=True).over(wf).alias("next_vc"),
-        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+        F.lead("h").over(w).alias("nh"),
+        F.lead("vc").over(w).alias("nvc"),
     )
+    # each segment emits [h, nh) hourly; the series' last point emits
+    # only itself (its "segment" is the single observed hour)
+    hh = F.explode(
+        F.sequence(
+            F.col("h"),
+            F.coalesce(
+                F.col("nh") - F.expr("interval 1 hour"), F.col("h")
+            ),
+            F.expr("interval 1 hour"),
+        )
+    )
+    pts = seg.select("user_id", "h", "vc", "nh", "nvc", hh.alias("hh"))
     hours = lambda a, b: (  # noqa: E731 — integer hour delta
         (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
     ).cast("long")
-    frac = hours("prev_h", F.col("h")).cast("double") / hours(
-        "prev_h", F.col("next_h")
-    )
-    v_cents = F.col("prev_vc") + (F.col("next_vc") - F.col("prev_vc")) * frac
-    # Observed rows pass through exactly (their interpolation fraction
-    # would be 0/0 — CASE keeps ANSI division-by-zero out of the plan).
-    # Interpolated values can land EXACTLY on a .00005 boundary (cents
-    # × a dyadic fraction), where Spark's ROUND goes half-up and
-    # DuckDB's half-even — so both sides round via the same explicit
-    # floor(x·100 + 0.5) half-up on the cents value instead.
+    frac = hours("h", F.col("hh")).cast("double") / hours("h", F.col("nh"))
+    v_cents = F.col("vc") + (F.col("nvc") - F.col("vc")) * frac
+    observed = F.col("hh") == F.col("h")
     v_interp = F.when(
-        F.col("vc").isNotNull(), F.col("vc").cast("double") / F.lit(100.0)
+        observed, F.col("vc").cast("double") / F.lit(100.0)
     ).otherwise(
         F.floor(v_cents * F.lit(100.0) + F.lit(0.5)).cast("double")
         / F.lit(10000.0)
     )
-    return edged.filter(
-        F.col("vc").isNotNull()
-        | (F.col("prev_vc").isNotNull() & F.col("next_vc").isNotNull())
-    ).select(
+    return pts.select(
         "user_id",
-        F.col("h").alias("hour"),
-        F.col("vc").isNotNull().alias("observed"),
+        F.col("hh").alias("hour"),
+        observed.alias("observed"),
         v_interp.alias("v_interp"),
     )
 

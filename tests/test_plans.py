@@ -448,3 +448,18 @@ def test_runtime_bloom_filter_injectable(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interpolate_windows_segments_not_spine(spark, sf_dir):
+    """ts_interpolate_linear's only window must run over the compact
+    observed-hourly rows, with the dense spine generated AFTER it
+    (segment-explode) — windowing the exploded spine was a 29x
+    regression at sf0.1 and its sort state grows with series span."""
+    plan = explain_str(q("ts_interpolate_linear")(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan[:3000]
+    lines = plan.splitlines()
+    gen = min(i for i, ln in enumerate(lines) if "Generate explode" in ln)
+    win = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    # tree prints top-down: the explode (later in dataflow) must sit
+    # ABOVE the window, i.e. the window never sees exploded rows
+    assert gen < win, plan[:3000]

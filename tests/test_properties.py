@@ -160,3 +160,40 @@ def test_compare_frames_catches_wrongness():
     assert not ok, "a renamed column must fail the schema check"
     ok, _ = compare_frames(base, base.assign(v=base["v"].astype("int64")))
     assert not ok, "a changed dtype family must fail"
+
+
+@SMALL
+@given(
+    series=st.lists(
+        st.integers(min_value=0, max_value=49000), min_size=1, max_size=25
+    )
+)
+def test_ewma_weight_algebra_bounded_and_convex(spark, series):
+    """The finite-window EWMA expression used by ts_ewma, applied to
+    ANY integer-cent series: every output is a convex combination of
+    its trailing frame, so min(frame) <= ewma <= max(frame), and a
+    constant series is a fixed point."""
+    rows = [(i, c) for i, c in enumerate(series)]
+    df = spark.createDataFrame(rows, "i long, vc long")
+    w = W.orderBy("i").rowsBetween(-9, 0)
+    vs = F.collect_list("vc").over(w)
+    d = df.select("i", "vc", vs.alias("vs"))
+    n = F.size("vs")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.sequence(F.lit(1), n),
+            lambda v, i: v
+            * F.pow(F.lit(2.0), (F.lit(9) - n + i).cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.pow(F.lit(2.0), 10) - F.pow(F.lit(2.0), (F.lit(10) - n).cast("double"))
+    out = d.select("i", "vc", (num.cast("double") / den).alias("e")).collect()
+    vals = {r.i: r.vc for r in out}
+    for r in out:
+        frame = [vals[j] for j in range(max(0, r.i - 9), r.i + 1)]
+        assert min(frame) - 1e-9 <= r.e <= max(frame) + 1e-9
+    if len(set(series)) == 1:
+        assert all(abs(r.e - series[0]) < 1e-9 for r in out)
