@@ -523,3 +523,77 @@ def fk_orphan_audit(
             F.when(F.col(pk).isNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_orphans"),
     ).select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+WITH new_snap AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 6 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 20 <> 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal FROM customer
+  WHERE c_custkey % 25 = 4),
+diff AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN o.c_acctbal <> n.c_acctbal THEN 'U'
+              ELSE 'S' END AS change_type,
+         o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal
+  FROM customer o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey)
+SELECT c_custkey, change_type, old_acctbal, new_acctbal
+FROM diff WHERE change_type <> 'S'
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions into
+    row-level Insert/Update/Delete records — the audit that catches
+    a bad backfill before it ships, and the changelog generator for
+    downstream CDC consumers. The 'new' snapshot is derived
+    deterministically from the base (drops, inserts, +100 balance
+    updates) so both engines see identical versions. ONE full-outer
+    sort-merge join on the key, unchanged rows filtered out —
+    compare cost is O(n) rows with only the compared columns read.
+    Money equality compares the same parquet doubles on both
+    engines (no arithmetic beyond an exact +100), so 'U' detection
+    is bit-safe."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    new_snap = (
+        cust.filter(F.col("c_custkey") % 20 != 3)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 6, F.col("c_acctbal") + 100.0
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 25 == 4).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+            )
+        )
+    )
+    o = cust.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(
+        n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("n.c_custkey").isNull(), F.lit("D"))
+        .when(F.col("o.c_custkey").isNull(), F.lit("I"))
+        .when(F.col("o.c_acctbal") != F.col("n.c_acctbal"), F.lit("U"))
+        .otherwise(F.lit("S"))
+    )
+    return joined.select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias(
+            "c_custkey"
+        ),
+        change.alias("change_type"),
+        F.col("o.c_acctbal").alias("old_acctbal"),
+        F.col("n.c_acctbal").alias("new_acctbal"),
+    ).filter(F.col("change_type") != "S")

@@ -492,3 +492,59 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out)
     )
     return spark.read.text(out)
+
+
+@query(
+    "scan_json_permissive",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents WHERE doc_id % 50 <> 7 GROUP BY lang
+UNION ALL
+SELECT '_corrupt', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE doc_id % 50 = 7
+""",
+)
+def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record-tolerant JSON ingestion: the landed file carries
+    deterministically corrupted lines (every doc_id ≡ 7 mod 50 is
+    written truncated mid-object); the PERMISSIVE read routes them
+    into a corrupt-record column instead of failing the batch — the
+    posture a 100 TB crawl ingest needs, where one mangled line must
+    never kill the job. Output audits good rows per lang plus the
+    quarantined count; the oracle predicts both straight from the
+    source table. Line-splittable JSON, so the read parallelizes by
+    byte range at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    line = F.when(
+        F.col("doc_id") % 50 == 7,
+        # truncated mid-object: unparseable, lands in _bad
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "source")))
+    out = scratch_dir("docs_json_dirty", sf_dir)
+    docs.select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+    )
+    # One pass, referencing lang AND _bad together (Spark disallows
+    # projecting ONLY the corrupt-record column from a raw read).
+    bucket = F.when(
+        F.col("_bad").isNotNull(), F.lit("_corrupt")
+    ).otherwise(F.col("lang"))
+    return parsed.groupBy(bucket.alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -536,3 +536,81 @@ def stream_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_ewma",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events),
+cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+r AS (
+  SELECT user_id, rn, value AS e FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, floor((r.e + o.value) * 5000 + 0.5) / 10000.0
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT r.user_id, CAST(cnt.n_events AS BIGINT) AS n_events, r.e AS ewma
+FROM r JOIN cnt ON r.user_id = cnt.user_id AND r.rn = cnt.n_events
+""",
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stateful streaming smoother — per-user infinite-decay
+    EWMA (α = ½) folded event-by-event in applyInPandasWithState;
+    state is two numbers per key (current ewma, count), the O(1)
+    shape that runs forever on an unbounded stream. The fold
+    QUANTIZES each step to 4 decimals with an explicit half-up
+    floor((e+x)·5000 + 0.5)/10⁴ — that makes the recursion exactly
+    reproducible in the DuckDB oracle's recursive CTE (both engines
+    run the identical IEEE op sequence, so a sequential float fold
+    hash-matches, which an unquantized fold cannot guarantee against
+    a weighted-sum reformulation). In-batch rows are sorted by
+    event time before folding; cross-batch ordering is the standard
+    event-time-arrival assumption (late data is T4's territory)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("e", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fold_user(key, pdfs, state: GroupState):
+        import math
+
+        e, n = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            if n == 0:
+                e = x
+            else:
+                e = math.floor((e + x) * 5000 + 0.5) / 10000.0
+            n += 1
+        state.update((e, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [e]}
+        )
+
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        fold_user,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(folded, "ifsml_stream_ewma", "update")

@@ -727,3 +727,32 @@ def test_trend_slope_matches_numpy(spark, sf_dir):
         assert abs(s - slope) < 1e-6, (uid, s, slope)
         checked += 1
     assert checked > 5
+
+
+def test_json_permissive_quarantines_planted_corruption(spark, sf_dir):
+    """Exactly the planted lines (doc_id % 50 == 7) land in the
+    corrupt bucket; every other line parses."""
+    rows = {r.lang: r.n_rows for r in q("scan_json_permissive")(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    n_bad = docs.filter(F.col("doc_id") % 50 == 7).count()
+    assert rows.pop("_corrupt") == n_bad
+    assert sum(rows.values()) == docs.count() - n_bad
+
+
+def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
+    """The derived snapshot plants exact D/I/U populations; the diff
+    must recover precisely those keys and nothing else."""
+    rows = q("etl_snapshot_diff")(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    keys = [r.c_custkey for r in cust.select("c_custkey").collect()]
+    expect_d = {k for k in keys if k % 20 == 3}
+    expect_i = {k + 1000000 for k in keys if k % 25 == 4}
+    expect_u = {k for k in keys if k % 10 == 6 and k % 20 != 3}
+    got = {"D": set(), "I": set(), "U": set()}
+    for r in rows:
+        got[r.change_type].add(r.c_custkey)
+        if r.change_type == "U":
+            assert r.new_acctbal == r.old_acctbal + 100.0
+    assert got["D"] == expect_d
+    assert got["I"] == expect_i
+    assert got["U"] == expect_u

@@ -463,3 +463,22 @@ def test_interpolate_windows_segments_not_spine(spark, sf_dir):
     # tree prints top-down: the explode (later in dataflow) must sit
     # ABOVE the window, i.e. the window never sees exploded rows
     assert gen < win, plan[:3000]
+
+
+def test_attribution_is_one_window_no_join(spark, sf_dir):
+    """events_attribution must be join-free: one range-frame window
+    over one user_id exchange — the purchase-to-touch pairing never
+    materializes."""
+    plan = explain_str(q("events_attribution")(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:3000]
+
+
+def test_trend_slope_is_single_two_phase_agg(spark, sf_dir):
+    """ts_trend_slope is one partial+final hash aggregate — no
+    window, no sort; only 5 moments per series cross the shuffle."""
+    plan = explain_str(q("ts_trend_slope")(spark, sf_dir), "simple")
+    assert "Window" not in plan and "Sort" not in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]

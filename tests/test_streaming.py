@@ -189,3 +189,99 @@ def test_events_loader_bigint_branch(spark, sf_dir):
         (r["event_id"], r["ts"]) for r in loaded.select("event_id", "ts").collect()
     )
     assert got == expected
+
+
+def test_stream_ewma_matches_python_fold(spark, sf_dir):
+    """The streamed per-user EWMA equals an independent pure-Python
+    quantized fold over the time-ordered series (exact equality —
+    both run the same IEEE op sequence)."""
+    import math
+
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in q("stream_ewma")(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    assert set(got) == set(series)
+    for uid, xs in series.items():
+        e = None
+        for i, x in enumerate(xs):
+            e = x if i == 0 else math.floor((e + x) * 5000 + 0.5) / 10000.0
+        assert got[uid] == (len(xs), e), uid
+
+
+def test_stream_ewma_state_survives_batches(spark, sf_dir, tmp_path):
+    """Two time-split micro-batches (all of batch 1 precedes batch
+    2) must fold to the same final EWMA as one pass — the state
+    hand-off is the whole point of the operator."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cut = ev.agg(F.expr("percentile_approx(cast(ts as long), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "esrc")
+    ev.filter(F.col("ts").cast("long") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b1"))
+    ev.filter(F.col("ts").cast("long") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "b2"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("e", T.DoubleType()), T.StructField("n", T.LongType())]
+    )
+
+    def fold_user(key, pdfs, state: GroupState):
+        e, n = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            e = x if n == 0 else math.floor((e + x) * 5000 + 0.5) / 10000.0
+            n += 1
+        state.update((e, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [e]})
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    qy = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fold_user, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ifsml_test_ewma_batches")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    per_user = (
+        spark.table("ifsml_test_ewma_batches")
+        .groupBy("user_id")
+        .agg(F.max_by("ewma", "n_events").alias("ewma"))
+        .collect()
+    )
+    single = {
+        r.user_id: r.ewma for r in q("stream_ewma")(spark, sf_dir).collect()
+    }
+    got = {r.user_id: r.ewma for r in per_user}
+    assert got == single
