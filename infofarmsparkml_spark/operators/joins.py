@@ -247,18 +247,32 @@ GROUP BY month_start
 """,
 )
 def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9: interval join fact-to-calendar. The derived calendar dim
-    is tiny at any scale → broadcast nested-loop stays cheap; the
-    fact side never shuffles before aggregation."""
+    """J9: interval join fact-to-calendar via BUCKETIZED equi-join:
+    each fact row derives its covering month bucket, the join is a
+    BroadcastHashJoin on the bucket key, and the interval predicate
+    stays as a (here trivially-true) residual filter — the general
+    range-join lowering, where an interval spanning k buckets probes
+    k keys. The first formulation relied on BroadcastNestedLoopJoin
+    ("the calendar is tiny") — but BNLJ cost is |fact|×|dim|
+    PREDICATE EVALS, not dim size: 600k×77 = 46M timestamp
+    comparisons took 7.4 s at sf0.1 where the hash probe takes 0.5 s,
+    and at 100 TB the ×77 never goes away. Plan-pinned hash join."""
     orders = load_table(spark, sf_dir, "orders")
-    lf = load_table(spark, sf_dir, "lineitem")
+    lf = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_mb", F.date_trunc("month", F.col("l_shipdate"))
+    )
     months = F.broadcast(
         orders.select(
             F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
         ).distinct()
     )
-    cond = (F.col("l_shipdate") >= F.col("month_start")) & (
-        F.col("l_shipdate") < F.col("month_start") + F.expr("INTERVAL '1' MONTH")
+    cond = (
+        (F.col("_mb") == F.col("month_start"))
+        & (F.col("l_shipdate") >= F.col("month_start"))
+        & (
+            F.col("l_shipdate")
+            < F.col("month_start") + F.expr("INTERVAL '1' MONTH")
+        )
     )
     return (
         months.join(lf, cond, "inner")

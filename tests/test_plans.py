@@ -65,9 +65,13 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:2000]
 
 
-def test_interval_join_broadcasts_calendar(spark, sf_dir):
+def test_interval_join_is_bucketized_hash_join(spark, sf_dir):
+    """The calendar interval join must lower to a HASH probe on the
+    derived month bucket — BNLJ costs |fact|×|dim| predicate evals
+    (46M at sf0.1, 7.4 s) regardless of how small the dim is."""
     plan = explain_str(q("join_range_interval")(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
