@@ -274,3 +274,60 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ft.event_type").alias("first_touch_type"),
         F.col("lt.event_type").alias("last_touch_type"),
     )
+
+
+@query(
+    "win_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_id, 2) OVER w AS end_event_id,
+         lead(CAST(ts AS TIMESTAMP), 2) OVER w AS end_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+       end_event_id, end_ts,
+       CAST(date_diff('second', ts, end_ts) AS BIGINT) AS span_sec
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+""",
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence detection: find every
+    user whose stream contains the CONSECUTIVE pattern
+    view → click → purchase, emitting the match's endpoints and
+    span. Spark has no MATCH_RECOGNIZE; for fixed-length patterns
+    the lowering is k-1 `lead` probes over ONE (user, time) window —
+    no self-join, no path enumeration, state bounded by the pattern
+    length. (Variable-length regex patterns lower to the sessionize
+    + aggregate shape instead — see `win_sessionize`.) Matches can
+    overlap (a row may start one match and sit inside another), the
+    same semantics as MATCH_RECOGNIZE AFTER MATCH SKIP TO NEXT ROW."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_event_id"),
+        F.lead("ts", 2).over(w).alias("end_ts"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        F.col("ts").alias("start_ts"),
+        "end_event_id",
+        "end_ts",
+        (
+            (F.unix_timestamp("end_ts") - F.unix_timestamp("ts"))
+        ).cast("long").alias("span_sec"),
+    )
