@@ -372,6 +372,11 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_mktsegment")
         )
     )
+    # The fixture changelog is synthesized from the base table with
+    # four filters; checkpoint it so the compaction/apply consumers
+    # don't re-derive it (9 scans observed in the plan audit — a
+    # real changelog is its own source and wouldn't re-scan).
+    chg = chg.localCheckpoint()
     w = W.partitionBy("c_custkey").orderBy(F.desc("seq"))
     last = (
         chg.withColumn("rn", F.row_number().over(w))
@@ -484,24 +489,57 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
-    audits = [
-        fk_orphan_audit(
-            orders, "o_custkey", customer, "c_custkey",
-            "orders.o_custkey->customer",
-        ),
-        fk_orphan_audit(
-            lineitem, "l_partkey", part, "p_partkey",
-            "lineitem.l_partkey->part",
-        ),
-        fk_orphan_audit(
-            lineitem, "l_suppkey", supplier, "s_suppkey",
-            "lineitem.l_suppkey->supplier",
-        ),
-    ]
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionByName(a)
-    return out
+    # The two lineitem edges share ONE fact pass: both FK columns
+    # ride the same scan through both broadcast joins, and the two
+    # orphan counts come out of one aggregate (a second full fact
+    # scan is the difference between 1x and 2x the dominant cost at
+    # 100 TB). The orders edge keeps the reusable helper.
+    li_both = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            lineitem["l_partkey"] == part["p_partkey"],
+            "left",
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey")),
+            lineitem["l_suppkey"] == supplier["s_suppkey"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("p_partkey").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("orph_part"),
+            F.sum(
+                F.when(F.col("s_suppkey").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("orph_supp"),
+        )
+    )
+    li_edges = li_both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_partkey->part").alias("fk"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("orph_part").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_suppkey->supplier").alias("fk"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col("orph_supp").alias("n_orphans"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.fk", "e.n_rows", "e.n_orphans")
+    return fk_orphan_audit(
+        orders, "o_custkey", customer, "c_custkey",
+        "orders.o_custkey->customer",
+    ).unionByName(li_edges)
 
 
 def fk_orphan_audit(

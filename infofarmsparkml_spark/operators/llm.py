@@ -82,9 +82,13 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket granularity: 8.5M pairs / 400 s at sf0.1; this plan:
     ~32 s full-corpus)."""
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: tok_sets feeds the signature aggregate, both
+    # size-prune sides and both verify sides — five differently-
+    # pruned consumers, each otherwise re-running split+distinct
+    # over the corpus (6 scans observed in the plan audit).
     tok_sets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
+    ).localCheckpoint()
     k = _MINHASH_BANDS * _MINHASH_ROWS
     sig = (
         tok_sets.select("doc_id", F.explode("toks").alias("token"))
