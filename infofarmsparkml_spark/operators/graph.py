@@ -258,3 +258,91 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         frontier = nxt
     return visited.select(F.col("node").alias("part"), "dist")
+
+
+def _sssp_oracle(depth: int = 4) -> str:
+    """Level-unrolled Bellman–Ford oracle (DuckDB): d_k(v) =
+    min(d_{k-1}(v), min over edges (u,v) of d_{k-1}(u) + cost) —
+    the same hop-bounded relaxation the Spark side iterates, so
+    neither engine ever enumerates paths. Integer costs keep every
+    min/+ exact."""
+    parts = [
+        """
+co AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n_co
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+edges AS (SELECT src, dst, 1 + 100 // n_co AS cost FROM co),
+d0 AS (SELECT MIN(l_partkey) AS node, CAST(0 AS BIGINT) AS d
+       FROM lineitem)"""
+    ]
+    for i in range(1, depth + 1):
+        parts.append(
+            f"""
+d{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.cost AS d
+    FROM d{i - 1} p JOIN edges e ON e.src = p.node)
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node AS part, CAST(d AS BIGINT) AS dist FROM d{depth}"""
+    )
+
+
+@query("graph_sssp_weighted", oracle=_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (4 relaxation rounds,
+    Bellman–Ford style) from the lowest part key: edge cost is
+    1 + 100 div co-purchase-count, so frequently co-bought parts are
+    "closer". Each round is one join (frontier distances against the
+    edge list) plus one min-aggregate — O(edges) per round, never
+    per-path state — with `localCheckpoint` truncating lineage each
+    round like `graph_pagerank`/`graph_bfs`. Costs and distances are
+    exact BIGINTs, so the hop-bounded result hash-matches the
+    level-unrolled oracle bit-for-bit."""
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = lf.alias("a"), lf.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .select(
+            "src",
+            "dst",
+            (F.lit(1) + F.expr("100 div n_co")).cast("long").alias("cost"),
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        lf.agg(F.min("l_partkey").alias("node"))
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(4):
+        relax = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("d") + F.col("cost")).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias("part"), F.col("d").alias("dist"))

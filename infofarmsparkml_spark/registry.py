@@ -102,7 +102,7 @@ _PRIORITY: list[str] = [
     "dq_referential_integrity", "mm_frame_sample",
     "events_attribution", "ts_trend_slope",
     "stream_ewma", "scan_json_permissive", "etl_snapshot_diff",
-    "win_pattern_match",
+    "win_pattern_match", "graph_sssp_weighted",
     # sort_multi re-witness (O1 rewritten to two-level rank in r4)
     "sort_multi",
     # remaining never-checked SQL-oracled

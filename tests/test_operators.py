@@ -756,3 +756,14 @@ def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
     assert got["D"] == expect_d
     assert got["I"] == expect_i
     assert got["U"] == expect_u
+
+
+def test_sssp_consistent_with_bfs(spark, sf_dir):
+    """Same edge set + same hop bound => identical reachable sets,
+    and with every edge cost >= 1 the weighted distance can never
+    undercut the hop count."""
+    sssp = {r.part: r.dist for r in q("graph_sssp_weighted")(spark, sf_dir).collect()}
+    bfs = {r.part: r.dist for r in q("graph_bfs")(spark, sf_dir).collect()}
+    assert set(sssp) == set(bfs)
+    for node, hops in bfs.items():
+        assert sssp[node] >= hops, (node, sssp[node], hops)
