@@ -331,3 +331,77 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("end_ts") - F.unix_timestamp("ts"))
         ).cast("long").alias("span_sec"),
     )
+
+
+@query(
+    "events_rfm",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         date_diff('second', MAX(CAST(ts AS TIMESTAMP)),
+                   TIMESTAMP '2025-01-01 00:00:00') // 86400
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS monetary
+  FROM events GROUP BY user_id),
+scored AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_q,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM base)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       monetary,
+       CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+         || CAST(m_q AS VARCHAR) AS rfm_segment
+FROM scored
+""",
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing-analytics composite: per-user last-seen
+    gap to a fixed anchor date, event count, and exact-cents value
+    sum, each quartiled with `ntile` and concatenated into the
+     'RFM segment' label. Shape: one hash aggregate over the events
+    table (map-side combinable), then three ntile windows over the
+    tiny per-user frame — at 100 TB the heavy pass is the aggregate;
+    the windows see one row per user. ntile ties are broken by
+    user_id in the ORDER BY so the quartile assignment is total-
+    ordered and identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents, ts_lit
+
+    anchor = ts_lit("2025-01-01")
+    base = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(anchor) - F.unix_timestamp(F.max("ts")))
+            / F.lit(86400)
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(cents("value")).cast("double") / F.lit(100.0)).alias(
+            "monetary"
+        ),
+    )
+    r_q = F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_segment"),
+    )

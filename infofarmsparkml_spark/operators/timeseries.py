@@ -479,3 +479,61 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_hour"
         ),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events),
+m AS (
+  SELECT user_id, event_id, ts, hod, vc,
+         CAST(SUM(vc) OVER w AS DOUBLE) / COUNT(*) OVER w AS mean_c
+  FROM c
+  WINDOW w AS (PARTITION BY user_id, hod))
+SELECT user_id, event_id, ts, hod,
+       floor(mean_c / 100.0 * 10000 + 0.5) / 10000.0 AS seasonal,
+       floor((vc - mean_c) / 100.0 * 10000 + 0.5) / 10000.0 AS residual
+FROM m
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: each event's value splits into
+    the mean of its user's same-hour-of-day bucket (the diurnal
+    seasonal component) and the residual — the pre-step of every
+    seasonality-aware anomaly detector or forecaster. One unordered
+    window (no sort frame) over a (user, hour-of-day) exchange;
+    at 100 TB the same algebra runs as a pre-aggregated dim join
+    (24 rows per user). Exactness: the bucket sum is an integer-cent
+    BIGINT (order-free), the mean is one double division, and both
+    outputs round half-up with the identical floor(x·10⁴+0.5)
+    expression, so hashes match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    from infofarmsparkml_spark.operators._util import cents
+
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.hour("ts").cast("int").alias("hod"),
+        cents("value").cast("long").alias("vc"),
+    )
+    w = W.partitionBy("user_id", "hod")
+    mean_c = F.sum("vc").over(w).cast("double") / F.count(F.lit(1)).over(w)
+
+    def r4(x):
+        return F.floor(x * F.lit(10000) + F.lit(0.5)).cast("double") / F.lit(
+            10000.0
+        )
+
+    return c.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "hod",
+        r4(mean_c / F.lit(100.0)).alias("seasonal"),
+        r4((F.col("vc") - mean_c) / F.lit(100.0)).alias("residual"),
+    )

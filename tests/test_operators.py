@@ -767,3 +767,38 @@ def test_sssp_consistent_with_bfs(spark, sf_dir):
     assert set(sssp) == set(bfs)
     for node, hops in bfs.items():
         assert sssp[node] >= hops, (node, sssp[node], hops)
+
+
+def test_rfm_quartiles_balanced_and_segments_consistent(spark, sf_dir):
+    rows = q("events_rfm")(spark, sf_dir).collect()
+    n = len(rows)
+    from collections import Counter
+
+    for dim in ("r_q", "f_q", "m_q"):
+        c = Counter(getattr(r, dim) for r in rows)
+        assert set(c) == {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1, (dim, c)
+    for r in rows:
+        assert r.rfm_segment == f"{r.r_q}{r.f_q}{r.m_q}"
+    assert n == load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+
+
+def test_seasonal_decompose_reconstructs_value(spark, sf_dir):
+    """seasonal + residual must reconstruct the original value to
+    within the two half-up roundings, and bucket residuals must
+    center on ~zero."""
+    rows = q("ts_seasonal_decompose")(spark, sf_dir).collect()
+    vals = {
+        r.event_id: r.value
+        for r in load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in rows:
+        assert abs((r.seasonal + r.residual) - vals[r.event_id]) < 2e-4
+        by_bucket[(r.user_id, r.hod)].append(r.residual)
+    for bucket, res in by_bucket.items():
+        assert abs(sum(res) / len(res)) < 1e-3, bucket
