@@ -486,3 +486,22 @@ def test_trend_slope_is_single_two_phase_agg(spark, sf_dir):
     assert "Window" not in plan and "Sort" not in plan, plan[:3000]
     assert "partial_sum" in plan, plan[:3000]
     assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_checkpointed_ops_do_not_rescan(spark, sf_dir):
+    """Regression guard for the round-4 scan-dedup fixes: ops whose
+    expensive subtrees are localCheckpointed must not re-derive them
+    — the plan may scan each base table at most the stated number of
+    times (column pruning silently defeats exchange reuse, so this
+    is the only durable pin)."""
+    bounds = {
+        "llm_minhash_lsh_dedup": 1,   # tok_sets checkpointed
+        "llm_ngram_containment": 1,   # grams + rare checkpointed
+        "etl_cdc_apply": 1,           # fixture changelog checkpointed
+        "graph_triangles": 2,         # und + fwd checkpointed
+        "dq_referential_integrity": 5,  # 5 tables, each scanned once
+    }
+    for name, max_scans in bounds.items():
+        plan = explain_str(q(name)(spark, sf_dir), "simple")
+        n = plan.count("Scan parquet")
+        assert n <= max_scans, f"{name}: {n} scans > {max_scans}"

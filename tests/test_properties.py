@@ -197,3 +197,58 @@ def test_ewma_weight_algebra_bounded_and_convex(spark, series):
         assert min(frame) - 1e-9 <= r.e <= max(frame) + 1e-9
     if len(set(series)) == 1:
         assert all(abs(r.e - series[0]) < 1e-9 for r in out)
+
+
+@SMALL
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=0,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_grid_join_algebra_equals_brute_force(spark, pts):
+    """The grid-bucket + 3x3-probe candidate algebra used by
+    join_spatial_grid, on ANY integer point set: identical pair set
+    to the brute-force cross join — no boundary pair lost, none
+    duplicated."""
+    d, d2 = 15, 225
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    p = spark.createDataFrame(rows, "k long, x long, y long")
+    homed = p.withColumn("cx", F.floor(F.col("x") / d)).withColumn(
+        "cy", F.floor(F.col("y") / d)
+    )
+    probes = (
+        homed.select("k", "x", "y", "cx", "cy",
+                     F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"))
+        .select("k", "x", "y", (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+                F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"))
+        .select("k", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    a, b = probes.alias("a"), homed.alias("b")
+    dist2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    got = {
+        (r.ka, r.kb)
+        for r in a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .filter(dist2 <= d2)
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .collect()
+    }
+    brute = {
+        (i, j)
+        for i, (x1, y1) in enumerate(pts)
+        for j, (x2, y2) in enumerate(pts)
+        if i < j and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= d2
+    }
+    assert got == brute
