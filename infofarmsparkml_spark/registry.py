@@ -103,7 +103,7 @@ _PRIORITY: list[str] = [
     "events_attribution", "ts_trend_slope",
     "stream_ewma", "scan_json_permissive", "etl_snapshot_diff",
     "win_pattern_match", "graph_sssp_weighted",
-    "events_rfm", "ts_seasonal_decompose",
+    "events_rfm", "ts_seasonal_decompose", "mm_audio_features",
     # sort_multi re-witness (O1 rewritten to two-level rank in r4)
     "sort_multi",
     # remaining never-checked SQL-oracled

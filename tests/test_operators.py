@@ -802,3 +802,24 @@ def test_seasonal_decompose_reconstructs_value(spark, sf_dir):
         by_bucket[(r.user_id, r.hod)].append(r.residual)
     for bucket, res in by_bucket.items():
         assert abs(sum(res) / len(res)) < 1e-3, bucket
+
+
+def test_audio_features_match_analytic_tone(spark, sf_dir):
+    """Every clip's decoded features vs the 440 Hz tone's analytic
+    values: RMS of a full-scale sine ~ 32000/sqrt(2) (tolerance for
+    the partial final period), zero-crossing count ~ 2 * 440 * dur,
+    peak <= 32000, duration = frames/rate."""
+    import math
+
+    rows = q("mm_audio_features")(spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    ).count()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert r.duration_ms == r.n_frames * 1000 // r.sample_rate
+        assert 0 < r.peak <= 32000
+        expect_rms = 32000 / math.sqrt(2)
+        assert abs(r.rms - expect_rms) / expect_rms < 0.25, r
+        expect_zc = 2 * 440.0 * r.n_frames / r.sample_rate
+        assert abs(r.zero_crossings - expect_zc) <= 3, r
