@@ -55,7 +55,14 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated to status 'U', plus the same rows re-keyed as inserts).
     At scale this is the shuffle-on-key plan Delta/Iceberg MERGE
     lowers to anyway; with a bucketed target (see `sink_bucketed`)
-    the target side needs no exchange at all."""
+    the target side needs no exchange at all.
+
+    NOTE on the +10000000 insert offset: valid while
+    MAX(o_orderkey) < 1e7, i.e. sf <= ~1.6 (orderkey tops out at
+    6M·sf·~1.04); the driver's fixtures stop at sf0.1. Parity holds
+    at any sf (both engines compute the same thing) — only the
+    planted U-vs-I semantics would degrade past that bound. See
+    `etl_snapshot_diff` for the key-domain-derived variant."""
     tgt = load_table(spark, sf_dir, "orders")
     upd = tgt.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
         "o_orderstatus", F.lit("U")
@@ -566,13 +573,14 @@ def fk_orphan_audit(
 @query(
     "etl_snapshot_diff",
     oracle="""
-WITH new_snap AS (
+WITH keymax AS (SELECT MAX(c_custkey) AS mk FROM customer),
+new_snap AS (
   SELECT c_custkey,
          CASE WHEN c_custkey % 10 = 6 THEN c_acctbal + 100.0
               ELSE c_acctbal END AS c_acctbal
   FROM customer WHERE c_custkey % 20 <> 3
   UNION ALL
-  SELECT c_custkey + 1000000, c_acctbal FROM customer
+  SELECT c_custkey + (SELECT mk FROM keymax) + 1, c_acctbal FROM customer
   WHERE c_custkey % 25 = 4),
 diff AS (
   SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
@@ -592,7 +600,10 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bad backfill before it ships, and the changelog generator for
     downstream CDC consumers. The 'new' snapshot is derived
     deterministically from the base (drops, inserts, +100 balance
-    updates) so both engines see identical versions. ONE full-outer
+    updates) so both engines see identical versions. Inserted keys
+    are offset by MAX(c_custkey)+1 (exact integer, identical in
+    both engines) so synthetic keys can never collide with real
+    ones at any scale factor. ONE full-outer
     sort-merge join on the key, unchanged rows filtered out —
     compare cost is O(n) rows with only the compared columns read.
     Money equality compares the same parquet doubles on both
@@ -601,6 +612,10 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
+    # Key-domain-derived insert offset: a broadcast 1-row MAX agg
+    # (parquet scans answer MAX from footer stats; the cross join is
+    # a BroadcastNestedLoopJoin over one row — effectively free).
+    keymax = cust.agg(F.max("c_custkey").alias("mk"))
     new_snap = (
         cust.filter(F.col("c_custkey") % 20 != 3)
         .select(
@@ -610,8 +625,10 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
         )
         .unionByName(
-            cust.filter(F.col("c_custkey") % 25 == 4).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            cust.filter(F.col("c_custkey") % 25 == 4)
+            .crossJoin(F.broadcast(keymax))
+            .select(
+                (F.col("c_custkey") + F.col("mk") + 1).alias("c_custkey"),
                 "c_acctbal",
             )
         )

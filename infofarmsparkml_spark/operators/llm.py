@@ -1092,14 +1092,24 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to five re-derivations of the 4-gram transform over the corpus
     # (observed: 6 scans, 0 reused exchanges, 7.5 s at sf0.1;
     # checkpointed: one derivation, ~3x faster, identical output).
+    # Guard n < 4: two-arg sequence(1, n-3) DESCENDS when n-3 < 1
+    # (sequence(1, 0) -> [1, 0]) and slice(toks, 0, 4) then throws
+    # INVALID_PARAMETER_VALUE.START; the DuckDB oracle's
+    # range(1, n-2) yields [] for the same doc. Emit an empty
+    # shingle set so short docs match the oracle instead of crashing.
     grams = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 3),
-                lambda i: F.array_join(F.slice(toks, i, 4), " "),
-            )
-        ).alias("g4"),
+        F.when(
+            n >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 3),
+                    lambda i: F.array_join(F.slice(toks, i, 4), " "),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g4"),
     ).localCheckpoint()
     exploded = grams.select("doc_id", F.explode("g4").alias("g"))
     rare = (
