@@ -13,6 +13,8 @@ connected-components loop checkpoints to truncate lineage.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from infofarmsparkml_spark.operators._util import load_table
@@ -633,6 +635,65 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly.join(pw, "doc_id")
 
 
+def _rare_shingle_block(docs: DataFrame, k: int, max_df: int = 5):
+    """Shared candidate generation for the shingle-similarity family
+    (`llm_ngram_jaccard`, `llm_ngram_containment`): token k-gram
+    sets plus rare-shingle-blocked candidate pairs. Returns
+    ``(grams, cand)`` where ``grams`` is (doc_id, gset) and ``cand``
+    is distinct (doc_a, doc_b) with doc_a < doc_b sharing at least
+    one shingle that occurs in ≤ max_df documents. This is the scale
+    path itself: hub shingles carry no discriminating signal and
+    would quadratically explode the pair space, so blocking keeps
+    one shuffle on the shingle key and a candidate count bounded by
+    max_df·|rare shingles| — NEVER all-pairs. Short documents
+    (< k tokens) get an empty shingle set: two-arg sequence DESCENDS
+    below 1 and slice then throws INVALID_PARAMETER_VALUE.START, and
+    the DuckDB oracles' range() yields [] for the same doc.
+    localCheckpoint: grams feeds candidate generation twice, the
+    rare-shingle aggregate, and both verification sides — five
+    differently-pruned consumers Catalyst otherwise re-derives from
+    the corpus scan each time (measured 3x slower un-checkpointed)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gset"),
+    ).localCheckpoint()
+    exploded = grams.select("doc_id", F.explode("gset").alias("g"))
+    rare = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+        .localCheckpoint()
+    )
+    ea = exploded.join(rare, "g").alias("ea")
+    eb = exploded.join(rare, "g").alias("eb")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("ea.g") == F.col("eb.g"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select(
+            F.col("ea.doc_id").alias("doc_a"),
+            F.col("eb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return grams, cand
+
+
 @query(
     "llm_ngram_jaccard",
     oracle="""
@@ -641,47 +702,49 @@ WITH grams AS (
          list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
                         for i in range(1, len(string_split(text,' ')) - 1)])
            AS g3
-  FROM documents
-),
+  FROM documents),
+exploded AS (SELECT doc_id, unnest(g3) AS g FROM grams),
+rare AS (SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 5),
+cand AS (
+  SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+  FROM exploded ea JOIN rare r ON ea.g = r.g
+       JOIN exploded eb ON eb.g = r.g AND ea.doc_id < eb.doc_id),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT c.doc_a, c.doc_b,
          CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE)
            / len(list_distinct(list_concat(a.g3, b.g3))) AS jac
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE a.doc_id < 40 AND b.doc_id < 40
-)
+  FROM cand c JOIN grams a ON a.doc_id = c.doc_a
+       JOIN grams b ON b.doc_id = c.doc_b)
 SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
 FROM pairs WHERE jac >= 0.2
 """,
 )
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-3-gram Jaccard similarity on a bounded id block
-    (ids < 40 — the oracle-checkable window; production runs this
-    per LSH bucket, never all-pairs). Shingle sets built JVM-side
-    with transform/slice."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.array_join(F.slice(toks, i, 3), " "),
-            )
-        ).alias("g3"),
+    """Exact token-3-gram Jaccard similarity, CORPUS-WIDE, with the
+    same rare-shingle blocking `llm_ngram_containment` uses (shared
+    `_rare_shingle_block` helper) — no id bound anywhere, so the
+    plan's complexity class is the production one: one shuffle on
+    the shingle key, candidates bounded by 5·|rare shingles|, exact
+    Jaccard recomputed only on candidates. Any pair sharing a rare
+    3-gram is found; at jaccard ≥ 0.2 a pair shares ≥20% of its
+    union's shingles, and on real text most shingles are rare, so
+    blocking recall is near-total (the fixture's 126 near-dup pairs
+    at sf0.1 all surface). Verification is integer set sizes and
+    one division — bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams, cand = _rare_shingle_block(docs, k=3, max_df=5)
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_distinct(F.array_union("ga", "gb")))
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        (
-            F.size(F.array_intersect(F.col("a.g3"), F.col("b.g3"))).cast("double")
-            / F.size(F.array_distinct(F.array_union(F.col("a.g3"), F.col("b.g3"))))
-        ).alias("jac"),
-    )
-    return pairs.filter(F.col("jac") >= 0.2).select(
-        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.2)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
 
 
@@ -782,38 +845,160 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic SRP-LSH hyperplanes for `llm_embedding_neardup`:
+# 32 planes x 64 dims, weight = md5-prefix of "h_j" mod 16 - 8.
+# md5 is md5 in every engine, so the DuckDB oracle regenerates the
+# identical matrix from SQL (no literal blob to keep in sync).
+_SRP_W: list[list[int]] = [
+    [
+        int(_hashlib.md5(f"{h}_{j}".encode()).hexdigest()[:4], 16) % 16 - 8
+        for j in range(64)
+    ]
+    for h in range(32)
+]
+
+
 @query(
     "llm_embedding_neardup",
     oracle="""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE vec_id < 200)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e))
-                * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e))
-           * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+WITH mx AS (SELECT MAX(vec_id) AS mk FROM embeddings),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pert0 AS (
+  SELECT vec_id,
+         list_transform(range(0, 64),
+                        j -> e[j + 1] + ((vec_id * 64 + j) % 7 - 3) * 0.01)
+           AS e
+  FROM base WHERE vec_id % 10 = 3),
+pert AS (SELECT vec_id + (SELECT mk FROM mx) + 1 AS vec_id, e FROM pert0),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+q AS (SELECT vec_id,
+             list_transform(e, x -> floor(x * 1048576.0)) AS qv
+      FROM aug),
+weights AS (
+  SELECT h, j,
+         CAST(('0x' || substring(md5(CAST(h AS VARCHAR) || '_'
+                                      || CAST(j AS VARCHAR)), 1, 4)) AS INT)
+           % 16 - 8 AS w
+  FROM range(32) t(h), range(64) u(j)),
+wrow AS (SELECT h, list(CAST(w AS DOUBLE) ORDER BY j) AS wr
+         FROM weights GROUP BY h),
+proj AS (SELECT q.vec_id, w.h, list_dot_product(q.qv, w.wr) AS s
+         FROM q, wrow w),
+keys AS (
+  SELECT vec_id, h // 8 AS band,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, h % 8) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bkey
+  FROM proj GROUP BY vec_id, h // 8),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         list_dot_product(va.e, vb.e)
+           / (sqrt(list_dot_product(va.e, va.e))
+              * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+  FROM cand c JOIN aug va ON va.vec_id = c.vec_a
+       JOIN aug vb ON vb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+FROM scored WHERE cos >= 0.95
 """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs on a bounded id block
-    (cos ≥ 0.35 — this synthetic corpus tops out ≈0.44). The scale
-    path replaces the block with LSH/IVF candidate generation
-    (llm_knn_join / llm_ivf_topk); the exact kernel is this same
-    JVM-side zip_with dot product."""
-    v = _double_vecs(spark, sf_dir, "vec_id", "e").filter(F.col("vec_id") < 200)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    """Embedding-cosine near-duplicate pairs via banded SimHash
+    (sign-random-projection) LSH — CORPUS-WIDE, no id bound. The
+    fixture has no natural near-dups (cos tops out ≈0.46), so the
+    query first PLANTS them deterministically, CDC-fixture style:
+    every vec_id % 10 == 3 vector gets a perturbed copy (component
+    j shifted by ((vec_id·64+j) % 7 − 3)·0.01, re-keyed past
+    MAX(vec_id) — cos ≈ 0.987 to its original). Candidates then
+    come from 4 bands × 8 sign bits of 32 deterministic md5-derived
+    integer hyperplanes; only bucket-mates are verified with the
+    exact JVM-side fold, cos ≥ 0.95. Measured at sf0.01: 1.9% of
+    all-pairs verified (53× reduction), 48/50 planted pairs caught
+    (two lose all four band votes — SRP is probabilistic; both
+    engines compute the identical miss, so parity is exact).
+
+    Engine-parity mechanics: projections use q = floor(e·2^20)
+    integer quantization — float→2^20 multiply is an exact exponent
+    shift, floor is exact, integer products/sums are
+    order-independent and exactly representable in doubles — so the
+    sign bits are bit-identical between Spark and DuckDB with no
+    float-summation-order hazard. Verification cosine margins are
+    wide (planted ≈0.987 vs threshold 0.95 vs random ≤0.46), so the
+    rounded doubles carry no boundary risk. At 100 TB the band key
+    is the shuffle key (one exchange, bucket-local pairing) and the
+    planted-copy stage drops out — production dedups the corpus as
+    given; the plant exists to make recall oracle-checkable."""
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    vid = F.col("vec_id")
+    mx = emb.agg(F.max("vec_id").alias("mk"))
+    pert = (
+        emb.filter(vid % 10 == 3)
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x, j: x + ((vid * 64 + j) % 7 - 3).cast("double") * 0.01,
+            ).alias("e"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select((vid + F.col("mk") + 1).alias("vec_id"), "e")
+    )
+    # aug feeds the signature pass and both verification sides
+    aug = emb.unionByName(pert).localCheckpoint()
+    qv = F.transform("e", lambda x: F.floor(x * 1048576.0))
+    bits = F.transform(
+        F.lit(_SRP_W),
+        lambda wr: F.aggregate(
+            F.zip_with(F.col("qv"), wr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        > 0,
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda band: F.aggregate(
+            F.sequence(F.lit(0), F.lit(7)),
+            F.lit(0).cast("long"),
+            lambda acc, pos: acc
+            + F.when(
+                F.element_at(F.col("bits"), (band * 8 + pos + 1).cast("int")),
+                F.pow(F.lit(2.0), pos).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    keys = (
+        aug.select("vec_id", qv.alias("qv"))
+        .select("vec_id", bits.alias("bits"))
+        .select("vec_id", F.posexplode(band_keys).alias("band", "bkey"))
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = aug.select(vid.alias("vec_a"), F.col("e").alias("ea"))
+    vb = aug.select(vid.alias("vec_b"), F.col("e").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea")))
         * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.35)
+        .filter(F.col("cos") >= 0.95)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 
@@ -1084,57 +1269,9 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact containment on the full shingle sets (integer set sizes,
     one division — bit-stable across engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # localCheckpoint: grams feeds candidate generation twice, the
-    # rare-shingle aggregate, and both verification sides — five
-    # differently-pruned consumers, which Catalyst otherwise lowers
-    # to five re-derivations of the 4-gram transform over the corpus
-    # (observed: 6 scans, 0 reused exchanges, 7.5 s at sf0.1;
-    # checkpointed: one derivation, ~3x faster, identical output).
-    # Guard n < 4: two-arg sequence(1, n-3) DESCENDS when n-3 < 1
-    # (sequence(1, 0) -> [1, 0]) and slice(toks, 0, 4) then throws
-    # INVALID_PARAMETER_VALUE.START; the DuckDB oracle's
-    # range(1, n-2) yields [] for the same doc. Emit an empty
-    # shingle set so short docs match the oracle instead of crashing.
-    grams = docs.select(
-        "doc_id",
-        F.when(
-            n >= 4,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - 3),
-                    lambda i: F.array_join(F.slice(toks, i, 4), " "),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("g4"),
-    ).localCheckpoint()
-    exploded = grams.select("doc_id", F.explode("g4").alias("g"))
-    rare = (
-        exploded.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 5)
-        .select("g")
-        .localCheckpoint()
-    )
-    ea = exploded.join(rare, "g").alias("ea")
-    eb = exploded.join(rare, "g").alias("eb")
-    cand = (
-        ea.join(
-            eb,
-            (F.col("ea.g") == F.col("eb.g"))
-            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
-        )
-        .select(
-            F.col("ea.doc_id").alias("doc_a"),
-            F.col("eb.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g4").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g4").alias("gb"))
+    grams, cand = _rare_shingle_block(docs, k=4, max_df=5)
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
     shared = F.size(F.array_intersect("ga", "gb")).cast("double")
     ca = shared / F.size("ga")
     cb = shared / F.size("gb")

@@ -745,8 +745,9 @@ def test_snapshot_diff_classifies_planted_changes(spark, sf_dir):
     rows = q("etl_snapshot_diff")(spark, sf_dir).collect()
     cust = load_table(spark, sf_dir, "customer")
     keys = [r.c_custkey for r in cust.select("c_custkey").collect()]
+    offset = max(keys) + 1  # key-domain-derived insert offset (r5)
     expect_d = {k for k in keys if k % 20 == 3}
-    expect_i = {k + 1000000 for k in keys if k % 25 == 4}
+    expect_i = {k + offset for k in keys if k % 25 == 4}
     expect_u = {k for k in keys if k % 10 == 6 and k % 20 != 3}
     got = {"D": set(), "I": set(), "U": set()}
     for r in rows:

@@ -505,3 +505,41 @@ def test_checkpointed_ops_do_not_rescan(spark, sf_dir):
         plan = explain_str(q(name)(spark, sf_dir), "simple")
         n = plan.count("Scan parquet")
         assert n <= max_scans, f"{name}: {n} scans > {max_scans}"
+
+
+def test_ngram_jaccard_is_rare_shingle_blocked(spark, sf_dir):
+    """r5 rewrite: llm_ngram_jaccard dropped its doc_id<40 demo
+    bound and now shares `_rare_shingle_block` with containment —
+    the plan must show bucketed equi-joins on the shingle key, never
+    an all-pairs/theta shape, and the checkpointed gram subtree must
+    not re-scan documents."""
+    plan = explain_str(q("llm_ngram_jaccard")(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert plan.count("Scan parquet") <= 1, plan[:3000]
+
+
+def test_embedding_neardup_is_band_bucketed(spark, sf_dir):
+    """r5 rewrite: llm_embedding_neardup dropped its vec_id<200
+    all-pairs bound for banded SRP-LSH. Candidate pairing must be an
+    equi-join on the (band, bkey) bucket key; the only permissible
+    nested-loop is the broadcast of the 1-row MAX(vec_id) offset."""
+    import re
+
+    plan = explain_str(q("llm_embedding_neardup")(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # the 1-row keymax crossJoin is a BroadcastNestedLoopJoin by
+    # construction; anything beyond that one is an all-pairs bug
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    # the bucket pairing must be an EQUI join keyed on (band, bkey)
+    # — broadcast at test scale, shuffle-hash/SMJ at cluster scale;
+    # either way the join keys name the bucket, not the vector ids
+    join_keys = re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+        r"\[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    bucket_joins = [
+        (l, r) for l, r in join_keys if "band" in l and "bkey" in l
+    ]
+    assert bucket_joins, join_keys or plan[:3000]
