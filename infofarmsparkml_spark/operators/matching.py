@@ -62,8 +62,19 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 37) % 1000).alias("x"),
         ((F.col("c_custkey") * 91) % 1000).alias("y"),
     )
-    homed = pts.withColumn("cx", F.floor(F.col("x") / _D)).withColumn(
-        "cy", F.floor(F.col("y") / _D)
+    return grid_pair_join(pts, _D)
+
+
+def grid_pair_join(pts: DataFrame, d: int) -> DataFrame:
+    """Grid-bucketed distance self-join core (shared by
+    `join_spatial_grid` and the AQE hot-cell test): ``pts`` must
+    have integer columns (k, x, y); returns all (key_a, key_b,
+    dist2) pairs with key_a < key_b and dist² ≤ d². Each qualifying
+    pair matches in exactly one (offset, home-cell) combination, so
+    no distinct pass is needed."""
+    d2 = d * d
+    homed = pts.withColumn("cx", F.floor(F.col("x") / d)).withColumn(
+        "cy", F.floor(F.col("y") / d)
     )
     off = F.explode(
         F.array([F.lit(i) for i in (-1, 0, 1)])
@@ -91,7 +102,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.cy") == F.col("b.cy"))
             & (F.col("a.k") < F.col("b.k")),
         )
-        .filter(dist2 <= _D2)
+        .filter(dist2 <= d2)
         .select(
             F.col("a.k").alias("key_a"),
             F.col("b.k").alias("key_b"),

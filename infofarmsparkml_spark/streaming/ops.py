@@ -213,14 +213,35 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")  # drop semantics have no batch-SQL twin
+@query(
+    "stream_watermark_late",
+    oracle="""
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+wm2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+agg AS (SELECT date_trunc('hour', ts) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1)
+SELECT window_start, n FROM agg
+WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm2)
+""",
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: watermark + late-data drop, exercised with a real
     two-batch file stream: batch 1 advances the watermark past the
     early window; batch 2 mixes on-time rows with rows 2 days late
     — the late rows must NOT appear in the append-mode output.
     Deterministic row set; dropped/kept counts asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    SQL-oracled since r5 (the kept set IS batch-expressible, closing
+    the last rows-only §2 streaming op): every planted late copy is
+    dropped — its hour window ends before the batch-1 watermark
+    (max(early) − 10 min, ≈ Jan 14 23:49, vs late windows ending ≤
+    Jan 10) — so kept rows = the original events exactly; and append
+    mode emits precisely the windows whose end ≤ the final watermark
+    (max(ts) − 10 min; Spark's no-data batch flushes them after the
+    last file). The oracle computes both facts in plain SQL.
+    Verified green at sf0.001/0.01/0.1 before wiring in."""
     import os
 
     from infofarmsparkml_spark.catalog import load_table

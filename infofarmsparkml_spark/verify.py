@@ -69,12 +69,47 @@ def canon_cell(v: Any) -> str:
 
 
 def canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
-    """(sorted column names, sorted canonical row tuples)."""
+    """(sorted column names, sorted canonical row tuples).
+
+    Column-wise dtype dispatch instead of per-cell isinstance: the
+    full-registry sweep compares ~10^6 cells, and the old
+    row-records path spent ~9 s per 100k-row frame in cell dispatch
+    alone (measured r5, ts_* queries). Semantics are unchanged —
+    numeric/bool/datetime columns produce the exact strings
+    `canon_cell` would, and object columns (strings, arrays, maps,
+    Decimals) still go through `canon_cell` per cell."""
+    import pandas as pd
+
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for row in pdf.to_dict(orient="records")
-    ]
+    if not cols:
+        return cols, [() for _ in range(len(pdf))]
+    out: list[list[str]] = []
+    for c in cols:
+        s = pdf[c]
+        kind = s.dtype.kind
+        if kind == "f":
+            # x != x is the NaN test; +0.0 folds -0.0 to 0.0
+            out.append(
+                [
+                    "NULL" if x != x else repr(x + 0.0)
+                    for x in s.tolist()
+                ]
+            )
+        elif kind in "iu":
+            out.append([str(x) for x in s.tolist()])
+        elif kind == "b":
+            out.append(["true" if x else "false" for x in s.tolist()])
+        elif kind == "M":
+            ss = s
+            if getattr(s.dtype, "tz", None) is not None:
+                ss = ss.dt.tz_convert("UTC").dt.tz_localize(None)
+            ss = ss.dt.floor("us")
+            out.append(
+                ["NULL" if pd.isna(x) else x.isoformat() for x in ss]
+            )
+        else:
+            out.append([canon_cell(v) for v in s.tolist()])
+    rows = [tuple(r) for r in zip(*out)]
     rows.sort()
     return cols, rows
 

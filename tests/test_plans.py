@@ -543,3 +543,56 @@ def test_embedding_neardup_is_band_bucketed(spark, sf_dir):
         (l, r) for l, r in join_keys if "band" in l and "bkey" in l
     ]
     assert bucket_joins, join_keys or plan[:3000]
+
+
+def test_spatial_grid_hot_cell_gets_aqe_skew_split(spark, sf_dir):
+    """Exercises (not just argues) the join_spatial_grid docstring
+    claim that "a hot cell degrades to an AQE skew split, not a
+    cartesian": 1500 synthesized points piled into ONE grid cell
+    against a uniform background, skew thresholds lowered to
+    test-scale, and the FINAL adaptive plan must mark the
+    sort-merge join's skewed side with skew=true (AQE split the hot
+    partition into parallel subtasks instead of one straggler)."""
+    from pyspark.sql import functions as F
+
+    from infofarmsparkml_spark.operators.matching import grid_pair_join
+
+    n_hot, n_bg = 1500, 1500
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 15).alias("x"),
+        ((F.col("id") * 7) % 15).alias("y"),
+    )
+    bg = spark.range(n_bg).select(
+        (F.col("id") + n_hot).alias("k"),
+        ((F.col("id") * 37 + 100) % 1000).alias("x"),
+        ((F.col("id") * 91) % 1000).alias("y"),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = grid_pair_join(hot.unionByName(bg), 15)
+        # collect() (not count()) — count() builds a SEPARATE query
+        # execution, leaving df's own adaptive plan unfinalized
+        n = len(df.collect())
+        # the hot cell's 15 lattice positions pair quadratically;
+        # the dist2 <= 225 filter keeps a large fraction of them
+        assert n > 50_000, n
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
