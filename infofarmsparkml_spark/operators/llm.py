@@ -858,9 +858,8 @@ _SRP_W: list[list[int]] = [
 ]
 
 
-@query(
-    "llm_embedding_neardup",
-    oracle="""
+# the pair-generation CTEs shared by the two SRP oracles, verbatim
+_SRP_PAIR_CTES = """
 WITH mx AS (SELECT MAX(vec_id) AS mk FROM embeddings),
 base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 pert0 AS (
@@ -899,9 +898,17 @@ scored AS (
            / (sqrt(list_dot_product(va.e, va.e))
               * sqrt(list_dot_product(vb.e, vb.e))) AS cos
   FROM cand c JOIN aug va ON va.vec_id = c.vec_a
-       JOIN aug vb ON vb.vec_id = c.vec_b)
-SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
-FROM scored WHERE cos >= 0.95
+       JOIN aug vb ON vb.vec_id = c.vec_b),
+pairs AS (SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.95)
+"""
+
+
+
+@query(
+    "llm_embedding_neardup",
+    oracle=_SRP_PAIR_CTES
+    + """
+SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM pairs
 """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +937,19 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shuffle key (one exchange, bucket-local pairing) and the
     planted-copy stage drops out — production dedups the corpus as
     given; the plant exists to make recall oracle-checkable."""
+    pairs = _srp_neardup_pairs(spark, sf_dir)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+    )
+
+
+def _srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SRP-LSH near-dup pair machinery (`llm_embedding_neardup`
+    detection, `llm_semantic_dedup` decision): plants the
+    deterministic perturbed copies, computes 32 quantized sign bits,
+    bucket-joins on the 4 band keys, and verifies exact cosine
+    ≥ 0.95 on candidates only. Returns (vec_a, vec_b, cos) with
+    vec_a < vec_b and cos the un-rounded exact double."""
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
     vid = F.col("vec_id")
     mx = emb.agg(F.max("vec_id").alias("mk"))
@@ -999,8 +1019,42 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vb, "vec_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= 0.95)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", "cos")
     )
+
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle=_SRP_PAIR_CTES
+    + """
+, dup AS (SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of
+          FROM pairs GROUP BY vec_b)
+SELECT d.vec_id, d.dup_of, ROUND(p.cos, 6) AS cosine
+FROM dup d JOIN pairs p ON p.vec_a = d.dup_of AND p.vec_b = d.vec_id
+""",
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication DECISION on top of the
+    SRP near-dup pair detector (shared `_srp_neardup_pairs`): any
+    vector with a cos ≥ 0.95 partner of smaller id is dropped and
+    mapped to its smallest such partner as the kept canonical —
+    deterministic under any pair arrival order, so both engines
+    agree row-for-row. Output is the drop ledger (vec_id, dup_of,
+    cosine); the kept set is its complement, obtainable with one
+    LEFT ANTI join exactly like `llm_exact_dedup`. At 100 TB this is
+    the pattern of arXiv:2303.09540 with the k-means cluster
+    replaced by the LSH band bucket: pairing never leaves a bucket,
+    the decision is one groupBy(vec_b) MIN, and the ledger join-back
+    is a broadcast for any realistic dup rate."""
+    pairs = _srp_neardup_pairs(spark, sf_dir).localCheckpoint()
+    dup = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of")
+    )
+    return dup.join(
+        pairs,
+        (pairs.vec_a == dup.dup_of) & (pairs.vec_b == dup.vec_id),
+    ).select("vec_id", "dup_of", F.round("cos", 6).alias("cosine"))
 
 
 @query("llm_ivf_topk")  # centroid training is seeded k-means: rows-only
@@ -1284,4 +1338,96 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", F.round("containment", 6).alias("containment")
         )
+    )
+
+
+@query(
+    "llm_quality_classifier",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_concat(
+           t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+           AS g
+  FROM toks),
+scored AS (
+  SELECT doc_id,
+         CAST(len(g) AS BIGINT) AS n_grams,
+         CAST(list_sum(list_transform(g, s ->
+             CAST(('0x' || substring(md5('w' ||
+                 CAST(CAST(('0x' || substring(md5(s), 1, 4)) AS INT) % 1024
+                      AS VARCHAR)), 1, 4)) AS INT) % 2001 - 1000))
+           AS BIGINT) AS sum_w
+  FROM grams)
+SELECT doc_id, n_grams, sum_w,
+       ROUND(sum_w / (1000.0 * n_grams), 6) AS score,
+       (sum_w > 0) AS label
+FROM scored
+""",
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality classifier over hashed
+    unigram+bigram features — the scoring pass a trained filter
+    model runs over a 100 TB corpus, with the learned weight table
+    replaced by a deterministic md5-derived one so the full scoring
+    path is oracle-checkable (train offline, score at scale; the
+    score plumbing is identical either way). Every gram hashes to
+    one of 1024 buckets, each bucket carries an integer weight in
+    [-1000, 1000], and the document score is the mean bucket weight:
+    sum_w is an EXACT integer in both engines (no float summation
+    order anywhere), and the single final division is correctly
+    rounded, so score hash-matches bit-for-bit.
+
+    Scale shape: ZERO shuffles — tokenize, feature-hash, weigh and
+    fold entirely inside whole-stage codegen per row; at 1000
+    executors this is a pure map over the corpus, the cheapest
+    possible classifier-inference plan. A real model swaps the
+    md5 weight derivation for a broadcast 1024-entry array literal;
+    nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    bucket = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("long") % 1024
+    )
+    weight = lambda g: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), bucket(g).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    sum_w = F.aggregate(
+        F.transform(grams, weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        sum_w.alias("sum_w"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "sum_w",
+        F.round(F.col("sum_w") / (1000.0 * F.col("n_grams")), 6).alias(
+            "score"
+        ),
+        (F.col("sum_w") > 0).alias("label"),
     )

@@ -101,6 +101,8 @@ _PRIORITY: list[str] = [
     # ---- position 51+: round-6 queue (not in this round's slate) --
     # newly SQL-oracled in r5 (was rows-only in r3)
     "stream_watermark_late",
+    # new in r5 (SQL-oracled, never driver-checked)
+    "llm_semantic_dedup", "llm_quality_classifier",
     # remaining never-witnessed rows-only tail
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
     "ml_gbt", "ml_svm_linear", "ml_cluster_gmm",

