@@ -266,3 +266,47 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(ct).alias("ct_bytes"),
         (pt == F.col("c_name")).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT)
+         AS n_vowel_runs,
+       regexp_extract(text, '[a-z]{6,}') AS first_long_word,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS len_devoweled,
+       regexp_matches(text, '(^| )spark( |$)') AS mentions_spark
+FROM documents
+""",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: regexp pack — count / extract / extract-first / global
+    replace / match over document text. Patterns stay inside the
+    character-class + anchors subset where Java regex (Spark) and
+    RE2 (DuckDB) agree exactly, so the whole pack hash-matches; the
+    dialect divergences to avoid are documented here so users don't
+    rediscover them: backreferences and lookaround (RE2 lacks
+    them), \\b word boundaries on non-ASCII, and possessive
+    quantifiers. All five expressions compile once per task and run
+    in whole-stage codegen — a pure map at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), 0)).cast("long").alias(
+            "n_words"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit("[aeiou]{2,}"), 0))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.regexp_extract(t, "[a-z]{6,}", 0).alias("first_long_word"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).cast("long").alias(
+            "len_devoweled"
+        ),
+        (F.regexp_count(t, F.lit("(^| )spark( |$)")) > 0).alias(
+            "mentions_spark"
+        ),
+    )

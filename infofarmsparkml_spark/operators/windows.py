@@ -202,3 +202,109 @@ def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "win_distinct_running",
+    oracle="""
+WITH firsts AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY event_type, user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events),
+run AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         SUM(is_first) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_distinct
+  FROM firsts)
+SELECT event_type, hour,
+       CAST(MAX(run_distinct) AS BIGINT) AS distinct_users_to_date
+FROM run GROUP BY event_type, hour
+""",
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event type — the audience-
+    growth curve. Spark (like most engines) forbids DISTINCT
+    aggregates over ordered window frames, so this uses the standard
+    decomposition: flag each user's FIRST event per type
+    (row_number over (type, user)), then a running SUM of flags over
+    (type, time) — two windows, both partition-bounded, no distinct
+    state at all. At 100 TB both exchanges key on event_type(+user);
+    no per-row set materializes anywhere, unlike the
+    collect_set-over-window formulation whose state grows with
+    cardinality. Rolled up to hourly (max of the running count) to
+    keep the output audit-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    run = flagged.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.sum("is_first").over(w_run).alias("run_distinct"),
+    )
+    return run.groupBy("event_type", "hour").agg(
+        F.max("run_distinct").alias("distinct_users_to_date")
+    )
+
+
+@query(
+    "win_median_rolling",
+    oracle="""
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id, ts, event_id,
+       CAST(median(vc) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rolling_median_cents
+FROM v
+""",
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing 7 events per user —
+    the robust-smoothing counterpart to the mean-based rolling
+    stats. Values go through the exact-cents integer view first, so
+    the only non-integer the median can produce is a .5 midpoint of
+    an even-length frame — exactly representable, hence
+    hash-identical across engines with no rounding step. Spark
+    forbids `median` over an ordered frame but accepts the
+    equivalent `percentile(x, 0.5)` (exact, interpolating — same
+    midpoint rule as DuckDB's median); the frame is 7 rows
+    regardless of data volume, so state per window is O(7) and the
+    single exchange keys on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.percentile(F.col("vc"), F.lit(0.5))
+        .over(w)
+        .alias("rolling_median_cents"),
+    )

@@ -103,6 +103,7 @@ _PRIORITY: list[str] = [
     "stream_watermark_late",
     # new in r5 (SQL-oracled, never driver-checked)
     "llm_semantic_dedup", "llm_quality_classifier",
+    "win_distinct_running", "win_median_rolling", "fn_regexp",
     # remaining never-witnessed rows-only tail
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
     "ml_gbt", "ml_svm_linear", "ml_cluster_gmm",

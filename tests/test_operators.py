@@ -854,3 +854,52 @@ def test_quality_classifier_score_consistency(spark, sf_dir):
         assert r.label == (r.sum_w > 0)
         assert -1.0 <= r.score <= 1.0
         assert r.n_grams >= 1
+
+
+def test_running_distinct_reaches_true_total(spark, sf_dir):
+    """The last hourly value per event_type must equal the true
+    COUNT(DISTINCT user_id) for that type."""
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = q("win_distinct_running")(spark, sf_dir).collect()
+    last = {}
+    for r in rows:
+        cur = last.get(r.event_type)
+        if cur is None or r.hour > cur[0]:
+            last[r.event_type] = (r.hour, r.distinct_users_to_date)
+    assert {k: v[1] for k, v in last.items()} == truth
+
+
+def test_rolling_median_first_row_is_value(spark, sf_dir):
+    """A 1-row frame's median is the value itself; and every median
+    lies within the per-user [min, max] cents range."""
+    rows = q("win_median_rolling")(spark, sf_dir).collect()
+    first_per_user, bounds = {}, {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        first_per_user.setdefault(r.user_id, r)
+        lo, hi = bounds.get(r.user_id, (float("inf"), float("-inf")))
+        bounds[r.user_id] = (min(lo, r.rolling_median_cents),
+                             max(hi, r.rolling_median_cents))
+    # first row median == its own value (cents of `value`)
+    ev = {(r.user_id, r.event_id): r.value
+          for r in load_table(spark, sf_dir, "events").collect()}
+    for uid, r in first_per_user.items():
+        assert r.rolling_median_cents == round(ev[(uid, r.event_id)] * 100)
+
+
+def test_regexp_word_count_matches_split(spark, sf_dir):
+    """On this all-lowercase fixture, [a-z]+ token count must equal
+    the whitespace split count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(F.split("text", " ")).alias("n_split"), "doc_id"
+    ).collect()
+    got = {r.doc_id: r.n_words
+           for r in q("fn_regexp")(spark, sf_dir).collect()}
+    for r in n:
+        assert got[r.doc_id] == r.n_split
