@@ -19,20 +19,27 @@ from infofarmsparkml_spark.operators._util import load_table
 from infofarmsparkml_spark.registry import query
 
 
-def _word_ngrams(col: str, n: int):
-    """Array of space-joined word n-grams of ``col`` (a string
-    column), JVM-side. Empty array when the doc has < n words —
-    guarded because Spark's ``sequence(1, 0)`` counts DOWN."""
+def _ngrams_of(ws, n: int):
+    """Array of space-joined word n-grams of an ALREADY-BOUND token
+    array column ``ws``. Empty array when the doc has < n words —
+    guarded because Spark's ``sequence(1, 0)`` counts DOWN.
+
+    Callers must pre-project the split (``split(text, ' ') AS ws``)
+    in a prior select: codegen re-evaluates a ``split`` expression
+    embedded in a higher-order lambda once PER ELEMENT (it is not
+    hoisted as loop-invariant), so the inlined form costs O(tokens)
+    splits per document — measured 3x slower on the 8-gram explode
+    at sf0.1. A bound column reference is evaluated once per row."""
     return F.when(
-        F.size(F.split(F.col(col), " ")) >= n,
-        F.expr(
-            f"transform(sequence(1, size(split({col}, ' ')) - {n - 1}), "
-            f"i -> array_join(slice(split({col}, ' '), i, {n}), ' '))"
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
 
-# DuckDB twin of _word_ngrams: list_transform over range() — the
+# DuckDB twin of _ngrams_of: list_transform over range() — the
 # same shape as Spark's transform/sequence, so the two sides agree
 # on the n-gram multiset by construction.
 def _duck_ngrams(n: int) -> str:
@@ -66,8 +73,8 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tg = docs.select(
-        "doc_id", F.explode(_word_ngrams("text", 3)).alias("tg")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(_ngrams_of(F.col("ws"), 3)).alias("tg"))
     return tg.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.countDistinct("tg").alias("n_distinct"),
@@ -105,8 +112,8 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(_word_ngrams("text", 8)).alias("g")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(_ngrams_of(F.col("ws"), 8)).alias("g"))
     bench = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
@@ -395,15 +402,17 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     key BEFORE the exchange, so even the source-keyed quota window
     never sorts a whole source in one task — the optimizer now
     provides what llm_quota_sample builds explicitly with salts."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang") == "en"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .withColumn("ws", F.split(F.col("text"), " "))
     )
-    tg = _word_ngrams("text", 3)
+    tg = _ngrams_of(F.col("ws"), 3)
     scored = docs.select(
         "doc_id",
         "source",
         "lang",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.size("ws").cast("long").alias("n_tokens"),
         (
             1.0
             - F.size(F.array_distinct(tg))
@@ -461,8 +470,8 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
-        "doc_id", F.explode(_word_ngrams("text", 2)).alias("b")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(_ngrams_of(F.col("ws"), 2)).alias("b"))
     sp = bg.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     bgc = sp.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
     uc = sp.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
@@ -571,8 +580,8 @@ def llm_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     tg = docs.select(
-        "doc_id", F.explode(_word_ngrams("text", 3)).alias("tg")
-    )
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(_ngrams_of(F.col("ws"), 3)).alias("tg"))
     rep = tg.groupBy("doc_id").agg(
         F.round(
             1.0 - F.countDistinct("tg") / F.count(F.lit(1)), 4

@@ -268,11 +268,13 @@ def test_pagerank_known_answer_path_graph(spark):
 
 
 def test_word_ngrams_exact_and_short_doc(spark):
-    from infofarmsparkml_spark.operators.llm_curation import _word_ngrams
+    from infofarmsparkml_spark.operators.llm_curation import _ngrams_of
 
-    df = spark.createDataFrame(
-        [("a b c d",), ("a b",)], "text string"
-    ).select(_word_ngrams("text", 3).alias("tg"))
+    df = (
+        spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+        .select(F.split("text", " ").alias("ws"))
+        .select(_ngrams_of(F.col("ws"), 3).alias("tg"))
+    )
     rows = [r["tg"] for r in df.collect()]
     assert rows[0] == ["a b c", "b c d"]
     assert rows[1] == []  # shorter than n → empty, not a down-count
