@@ -334,7 +334,10 @@ def test_minhash_lsh_banded_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
-    assert keys <= {"doc_id", "band", "bk"}, keys
+    # doc_a/doc_b joined in since r5: the verify joins hint
+    # shuffle_hash (no sort of the candidate stream), which turns
+    # the small-scale broadcast into an explicit id-keyed exchange
+    assert keys <= {"doc_id", "band", "bk", "doc_a", "doc_b"}, keys
     # (1) each signature aggregate computes all b*r mins at once
     # (the old per-band branch form let Catalyst prune it into b
     # separate 8-min aggregates = 2b explode+shuffle passes)
