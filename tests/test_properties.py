@@ -252,3 +252,59 @@ def test_grid_join_algebra_equals_brute_force(spark, pts):
         if i < j and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= d2
     }
     assert got == brute
+
+
+# ---- pure-Python properties (no Spark job per example) ----
+
+cell_st = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.booleans(),
+    st.text(max_size=8),
+    st.datetimes(),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(cell_st, cell_st, cell_st), min_size=0, max_size=20
+    )
+)
+def test_canon_frame_matches_per_cell_reference(rows):
+    """The r5 column-wise canonicalizer must produce EXACTLY the
+    strings of the original per-cell row-records path for any frame
+    — the comparator is the correctness gate, so its rewrite gets a
+    property proof, not just the fixture runs."""
+    import pandas as pd
+
+    from infofarmsparkml_spark.verify import canon_cell, canon_frame
+
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c"])
+
+    def reference(p):
+        cols = sorted(p.columns)
+        out = [
+            tuple(canon_cell(row[c]) for c in cols)
+            for row in p.to_dict(orient="records")
+        ]
+        out.sort()
+        return cols, out
+
+    assert canon_frame(pdf) == reference(pdf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-100.0, max_value=100.0, allow_nan=False))
+def test_srp_quantization_is_exact_exponent_shift(x):
+    """floor(x * 2^20) must be computable without rounding error for
+    any float in the embedding range: multiplying a double by a
+    power of two only changes the exponent, so the product is exact
+    and both engines' floor agrees. This is the invariant the
+    SRP-LSH engine parity rests on."""
+    import math
+    from fractions import Fraction
+
+    exact = math.floor(Fraction(x) * 1048576)
+    assert math.floor(x * 1048576.0) == exact
