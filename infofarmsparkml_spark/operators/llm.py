@@ -1438,3 +1438,115 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("sum_w") > 0).alias("label"),
     )
+
+
+@query(
+    "llm_dedup_cascade",
+    oracle="""
+WITH s1_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+s1 AS (SELECT d.* FROM documents d JOIN s1_keep k ON d.doc_id = k.doc_id),
+p_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS ph
+    FROM s1) GROUP BY ph),
+s2 AS (SELECT d.* FROM s1 d JOIN p_keep k ON d.doc_id = k.doc_id),
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(string_split(text,' ')[i:i+3], ' ')
+                        for i in range(1, len(string_split(text,' ')) - 2)])
+           AS g4
+  FROM s2),
+exploded AS (SELECT doc_id, unnest(g4) AS g FROM grams),
+rare AS (SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 5),
+cand AS (
+  SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+  FROM exploded ea JOIN rare r ON ea.g = r.g
+       JOIN exploded eb ON eb.g = r.g AND ea.doc_id < eb.doc_id),
+dropped3 AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c JOIN grams a ON a.doc_id = c.doc_a
+       JOIN grams b ON b.doc_id = c.doc_b
+  WHERE len(a.g4) > 0 AND len(b.g4) > 0
+    AND GREATEST(CAST(len(list_intersect(a.g4, b.g4)) AS DOUBLE) / len(a.g4),
+                 CAST(len(list_intersect(a.g4, b.g4)) AS DOUBLE) / len(b.g4))
+        >= 0.6),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+         (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM dropped3) AS d3)
+SELECT * FROM (
+  SELECT 1 AS stage, 'exact' AS method,
+         CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_dropped,
+         CAST(n1 AS BIGINT) AS n_out FROM counts
+  UNION ALL
+  SELECT 2, 'prefix', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+         CAST(n2 AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 3, 'containment', CAST(n2 AS BIGINT), CAST(d3 AS BIGINT),
+         CAST(n2 - d3 AS BIGINT) FROM counts)
+""",
+)
+def llm_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup FUNNEL as one audited query: exact
+    content hash → 16-word prefix digest → rare-shingle-blocked
+    containment (≥ 0.6, min-id keeper at every stage), each stage
+    running only on the previous stage's survivors, with the
+    per-stage (n_in, n_dropped, n_out) ledger a data team actually
+    reviews before a training run. Cheap stages run first by design
+    — at 100 TB the exact hash removes the bulk for one shuffle,
+    the prefix digest is the same shape, and only the residue pays
+    the shingle-blocking cost (`_rare_shingle_block`, never
+    all-pairs). Every stage is deterministic, so the full funnel
+    hash-matches the oracle."""
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint()
+    n0 = docs.count()
+    s1 = (
+        docs.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    n1 = s1.count()
+    prefix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 16), " ")
+    s2 = (
+        s1.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(F.md5(prefix)).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    n2 = s2.count()
+    grams, cand = _rare_shingle_block(s2, k=4, max_df=5)
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
+    shared = F.size(F.array_intersect("ga", "gb")).cast("double")
+    cont = F.greatest(shared / F.size("ga"), shared / F.size("gb"))
+    d3 = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((F.size("ga") > 0) & (F.size("gb") > 0))
+        .filter(cont >= 0.6)
+        .select("doc_b")
+        .distinct()
+        .count()
+    )
+    rows = [
+        (1, "exact", n0, n0 - n1, n1),
+        (2, "prefix", n1, n1 - n2, n2),
+        (3, "containment", n2, d3, n2 - d3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, method string, n_in bigint, n_dropped bigint, n_out bigint"
+    )

@@ -617,3 +617,109 @@ def llm_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passes_gate"),
         )
     )
+
+
+@query(
+    "llm_temperature_mix",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source),
+iw AS (SELECT source, n_docs,
+              CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS isq
+       FROM per_src),
+tot AS (SELECT SUM(isq) AS s FROM iw)
+SELECT source, n_docs,
+       CAST(1000 * isq // (SELECT s FROM tot) AS BIGINT) AS quota,
+       CAST(LEAST(1000 * isq // (SELECT s FROM tot), n_docs) AS BIGINT)
+         AS n_sampled
+FROM iw
+""",
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture plan (the T5/LLaMA data-mix
+    recipe): per-source sampling quota proportional to n^alpha with
+    alpha = 0.5, damping dominant sources and boosting the tail,
+    for a 1000-doc training budget. All arithmetic is
+    engine-exact: sqrt is IEEE correctly-rounded in both engines,
+    the weight is quantized to an integer (floor(sqrt(n)·10^6))
+    before the order-independent integer SUM, and the quota is one
+    integer multiply + floor-div — no float summation anywhere, so
+    the plan table hash-matches bit-for-bit. At 100 TB this is a
+    per-source count aggregate plus a broadcast 1-row total: the
+    corpus itself is only touched by the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    iw = per_src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * 1000000).alias("isq"),
+    )
+    tot = iw.agg(F.sum("isq").alias("s"))
+    quota = (1000 * F.col("isq") / F.col("s")).cast("long")
+    return (
+        iw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            quota.alias("quota"),
+            F.least(quota, F.col("n_docs")).alias("n_sampled"),
+        )
+    )
+
+
+@query(
+    "llm_leakage_safe_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN CAST(('0x' || substring(md5(source), 1, 4)) AS INT)
+                   % 10 < 8
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents),
+leaks AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT source FROM assigned GROUP BY source
+    HAVING COUNT(DISTINCT split) > 1))
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((SELECT n FROM leaks) AS BIGINT) AS n_leaked_sources
+FROM assigned GROUP BY split, lang
+""",
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: the unit of assignment
+    is the SOURCE, not the document — a near-duplicate of a val doc
+    from the same crawl domain must not land in train, so the whole
+    group goes to one side (md5(source) mod 10: 80/20). The output
+    is the per-(split, lang) audit with a global
+    `n_leaked_sources` column that the pipeline gates on — it is 0
+    by construction here, and the query computes it rather than
+    assuming it, exactly what a CI data gate should do. Group-level
+    hashing needs no shuffle of the corpus: the split is a pure
+    per-row expression, and only the audit aggregates exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("int") % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    assigned = docs.select("doc_id", "lang", "source", split.alias("split"))
+    leaks = (
+        assigned.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_sources"))
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            "split", "lang", "n_docs", "n_sources", "n_leaked_sources"
+        )
+    )

@@ -905,3 +905,45 @@ def test_regexp_word_count_matches_split(spark, sf_dir):
            for r in q("fn_regexp")(spark, sf_dir).collect()}
     for r in n:
         assert got[r.doc_id] == r.n_split
+
+
+def test_temperature_mix_quota_properties(spark, sf_dir):
+    """Quotas must sum to <= the 1000-doc budget, be monotone in
+    source size, and boost the tail: smaller sources get a LARGER
+    quota-to-size ratio (that is what temperature < 1 is for)."""
+    rows = q("llm_temperature_mix")(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) <= 1000
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_size, by_size[1:]):
+        assert a.quota <= b.quota
+        if a.n_docs < b.n_docs:
+            assert a.quota / a.n_docs >= b.quota / b.n_docs - 1e-9
+        assert a.n_sampled == min(a.quota, a.n_docs)
+
+
+def test_leakage_safe_split_has_no_leaks(spark, sf_dir):
+    """Every source must land wholly in one split; totals must
+    account for every document."""
+    rows = q("llm_leakage_safe_split")(spark, sf_dir).collect()
+    assert all(r.n_leaked_sources == 0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} == {"train", "val"}
+
+
+def test_dedup_cascade_ledger_is_conserved(spark, sf_dir):
+    """Each stage's n_out must equal n_in - n_dropped and feed the
+    next stage's n_in; stage-1 output must equal the exact-dedup
+    group count."""
+    rows = sorted(
+        q("llm_dedup_cascade")(spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.method for r in rows] == ["exact", "prefix", "containment"]
+    for r in rows:
+        assert r.n_out == r.n_in - r.n_dropped
+        assert r.n_dropped >= 0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
+    exact_groups = q("llm_exact_dedup")(spark, sf_dir).count()
+    assert rows[0].n_out == exact_groups
