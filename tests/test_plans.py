@@ -608,3 +608,37 @@ def test_quality_classifier_is_zero_shuffle(spark, sf_dir):
     plan = explain_str(q("llm_quality_classifier")(spark, sf_dir), "simple")
     assert "Exchange" not in plan, plan[:3000]
     assert "Scan parquet" in plan
+
+
+def test_dedup_cascade_stage_windows_are_limit_pushed(spark, sf_dir):
+    """The cascade's exact- and prefix-dedup stages are
+    row_number==1 filters: both must compile with partial
+    WindowGroupLimit so map tasks keep one row per hash key before
+    the exchange — at corpus scale this is what keeps the cheap
+    stages cheap. (The stages execute eagerly inside the cascade,
+    so the pin checks the standalone stage shape.)"""
+    from pyspark.sql import Window as W, functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stage = (
+        docs.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    plan = explain_str(stage, "simple")
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_semantic_dedup_reuses_checkpointed_pairs(spark, sf_dir):
+    """llm_semantic_dedup consumes the SRP pair set twice (the
+    groupBy(vec_b) min and the cosine join-back); the pairs
+    localCheckpoint must keep the plan from re-deriving the whole
+    LSH pipeline — no parquet scan may appear above the checkpoint
+    (scan count 0: both consumers read the materialized RDD)."""
+    plan = explain_str(q("llm_semantic_dedup")(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 0, plan[:3000]
