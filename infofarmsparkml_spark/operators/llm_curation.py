@@ -723,3 +723,50 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split", "lang", "n_docs", "n_sources", "n_leaked_sources"
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM per_doc GROUP BY lang, source
+""",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per (lang, source) cell — the summary
+    table a corpus release ships with (doc counts, token/char
+    volume, within-cell exact-duplicate count, length bounds). One
+    hash aggregate over the corpus; everything is integer-exact, so
+    the card hash-matches bit-for-bit. The distinct-text count is
+    the only non-trivially-partial piece — Spark plans it as the
+    standard two-phase distinct-aggregate expansion, still one scan.
+    At 100 TB this is the audit you run AFTER `llm_dedup_cascade`
+    and BEFORE `llm_temperature_mix` consumes the cell sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -105,7 +105,7 @@ _PRIORITY: list[str] = [
     "llm_semantic_dedup", "llm_quality_classifier",
     "win_distinct_running", "win_median_rolling", "fn_regexp",
     "llm_temperature_mix", "llm_leakage_safe_split",
-    "llm_dedup_cascade",
+    "llm_dedup_cascade", "llm_dataset_card",
     # remaining never-witnessed rows-only tail
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
     "ml_gbt", "ml_svm_linear", "ml_cluster_gmm",
