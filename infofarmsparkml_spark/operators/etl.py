@@ -652,3 +652,54 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.c_acctbal").alias("old_acctbal"),
         F.col("n.c_acctbal").alias("new_acctbal"),
     ).filter(F.col("change_type") != "S")
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+""",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API data-quality metrics: `df.observe(...)`
+    attaches aggregate metrics to a DataFrame that are collected AS
+    A SIDE EFFECT of whatever action already runs — a pipeline gets
+    its row counts, guard-rail counters and exact checksums for
+    free, with NO second pass over the data (here the driving
+    action is a noop-format write, i.e. one full scan total). This
+    is the at-scale DQ instrument: at 100 TB a separate audit query
+    doubles the I/O bill; observe() rides the write you were doing
+    anyway. Metrics are integer-exact (cents), so the emitted row
+    hash-matches the direct aggregate the oracle runs."""
+    from pyspark.sql import Observation
+
+    from infofarmsparkml_spark.operators._util import cents
+
+    # Run the observed action in a THROWAWAY newSession(): the
+    # Observation listener stays registered on its session after
+    # `get`, and a lingering listener breaks closure serialization
+    # for later MLlib fits on the same session (reproduced: any
+    # pyspark.ml fit after an Observation action fails with "Task
+    # not serializable"). newSession shares the SparkContext but
+    # has its own listener manager, so the leak dies with it.
+    obs_spark = spark.newSession()
+    obs = Observation("dq_metrics")
+    lf = load_table(obs_spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_quantity") >= 45, 1).otherwise(0)
+        ).cast("long").alias("n_high_qty"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+    )
+    lf.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_qty"], m["sum_price_cents"])],
+        "n_rows bigint, n_high_qty bigint, sum_price_cents bigint",
+    )

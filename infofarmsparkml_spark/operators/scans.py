@@ -556,3 +556,32 @@ def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(bucket.alias("lang")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="SELECT * FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: XML source/sink round trip (spark-xml is built into
+    Spark 4 — `format("xml")`, no external jar). nation is written
+    as <nations><nation .../></nations> and read back under an
+    EXPLICIT schema; like every text source here, inference stays
+    off — at 100 TB schema inference is a full extra pass, and XML
+    inference additionally guesses numerics from lexical shape.
+    Lossless for int + string columns; the oracle is the original
+    table."""
+    out = scratch_dir("nation_xml", sf_dir)
+    (
+        load_table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .xml(out)
+    )
+    return (
+        spark.read.schema(NATION_SCHEMA)
+        .option("rowTag", "nation")
+        .xml(out)
+    )

@@ -276,3 +276,37 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.lvl, l.lo
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b: parameterized SQL (Spark 3.4+ named-parameter binding) —
+    the injection-safe form for user-supplied thresholds: values
+    bind as TYPED literals through `spark.sql(query, args=...)`,
+    never string-spliced, and Catalyst constant-folds them exactly
+    like inline literals (same pushed filter, same plan). The oracle
+    inlines the same constants."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS STRING)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "O"},
+    )

@@ -183,3 +183,65 @@ def udf_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         AS net_cents
+FROM lineitem WHERE l_quantity >= 45
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: `mapInPandas`'s zero-copy sibling `mapInArrow` — the
+    batch iterator yields pyarrow RecordBatches directly, skipping
+    the Arrow→pandas→Arrow conversion entirely. The right choice
+    when the Python logic is itself Arrow-native (pyarrow.compute
+    here): no pandas object allocation, no dtype coercion surprises
+    (int64 stays int64, no NaN-forced float). Net-price cents are
+    computed with pyarrow kernels and rounded exactly as the
+    codegen/cent path would."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lf = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def net_cents(batches):
+        for batch in batches:
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            # round_mode matters: pyarrow defaults to half-to-even,
+            # but Spark's round()/DuckDB's round() are half-up —
+            # prices are positive, so half_towards_infinity matches
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(net, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            # cast ids to the DECLARED schema: the fixture stores
+            # l_linenumber as int32, and Spark's Arrow reader trusts
+            # the returned schema literally (an int32 vector behind a
+            # bigint field throws UNSUPPORTED_CALL at read time)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    cents,
+                ],
+                ["l_orderkey", "l_linenumber", "net_cents"],
+            )
+
+    return lf.mapInArrow(
+        net_cents,
+        "l_orderkey bigint, l_linenumber bigint, net_cents bigint",
+    )
