@@ -947,3 +947,18 @@ def test_dedup_cascade_ledger_is_conserved(spark, sf_dir):
         assert a.n_out == b.n_in
     exact_groups = q("llm_exact_dedup")(spark, sf_dir).count()
     assert rows[0].n_out == exact_groups
+
+
+def test_observe_metrics_do_not_poison_mllib(spark, sf_dir):
+    """Regression (r5): the Observation listener stays registered on
+    its session after get(), and a lingering listener broke closure
+    serialization for every subsequent pyspark.ml fit ("Task not
+    serializable"). dq_observe_metrics must therefore observe on a
+    throwaway newSession — running it and THEN fitting an MLlib
+    model on the shared session must both succeed, repeatedly."""
+    for _ in range(2):
+        rows = q("dq_observe_metrics")(spark, sf_dir).collect()
+        assert rows[0].n_rows > 0
+        # ml_svm_linear is the exact query that failed post-observe
+        # before the fix (LinearSVC fit -> closure cleaner)
+        assert len(q("ml_svm_linear")(spark, sf_dir).collect()) > 0
