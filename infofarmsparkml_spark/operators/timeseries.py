@@ -537,3 +537,62 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(mean_c / F.lit(100.0)).alias("seasonal"),
         r4((F.col("vc") - mean_c) / F.lit(100.0)).alias("residual"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+med AS (
+  SELECT user_id, CAST(median(vc) AS DOUBLE) AS med FROM v
+  GROUP BY user_id),
+dev AS (
+  SELECT v.user_id, v.event_id, v.vc, m.med,
+         ABS(v.vc - m.med) AS adev
+  FROM v JOIN med m ON v.user_id = m.user_id),
+mad AS (
+  SELECT user_id, CAST(median(adev) AS DOUBLE) AS mad FROM dev
+  GROUP BY user_id)
+SELECT d.user_id, d.event_id, d.vc,
+       CAST(d.med AS DOUBLE) AS med,
+       CAST(a.mad AS DOUBLE) AS mad
+FROM dev d JOIN mad a ON d.user_id = a.user_id
+WHERE a.mad > 0 AND ABS(d.vc - d.med) > 5 * a.mad
+""",
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per user — the
+    robust counterpart to `ts_anomaly_zscore`: one wild value
+    inflates a stddev and masks later outliers, but barely moves
+    the median/MAD pair. Two exact-percentile aggregates over
+    integer cents (median and the deviation median are .0/.5 exact
+    in both engines — no float summation, no rounding step), the
+    per-user stats broadcast back, and the 5×MAD flag is an exact
+    comparison. Two shuffles on user_id at any scale; at 100 TB
+    swap `percentile` for `approx_percentile` and keep the shape."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    med = v.groupBy("user_id").agg(
+        F.percentile(F.col("vc"), F.lit(0.5)).alias("med")
+    )
+    dev = v.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("vc") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("vc") - F.col("med")) > 5 * F.col("mad"))
+        )
+        .select("user_id", "event_id", "vc", "med", "mad")
+    )
