@@ -747,3 +747,97 @@ def stream_stream_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     return run_to_memory(joined, "ifsml_stream_stream_lo", "append")
+
+
+@query(
+    "stream_stream_fullouter",
+    oracle="""
+WITH v AS (SELECT event_id AS view_id, user_id,
+                  CAST(ts AS TIMESTAMP) AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             CAST(ts AS TIMESTAMP) AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                    (SELECT MAX(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+matched AS (
+  SELECT v.view_id, p.purchase_id, v.user_id, p.p_user_id,
+         v.view_ts, p.purchase_ts
+  FROM v JOIN p ON v.user_id = p.p_user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE),
+unmatched_l AS (
+  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+         CAST(NULL AS BIGINT) AS p_user_id, v.view_ts,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts
+  FROM v
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.p_user_id = v.user_id
+            AND p.purchase_ts >= v.view_ts
+            AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+    AND v.view_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)),
+unmatched_r AS (
+  SELECT CAST(NULL AS BIGINT) AS view_id, p.purchase_id,
+         CAST(NULL AS BIGINT) AS user_id, p.p_user_id,
+         CAST(NULL AS TIMESTAMP) AS view_ts, p.purchase_ts
+  FROM p
+  WHERE NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.user_id = p.p_user_id
+            AND p.purchase_ts >= v.view_ts
+            AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+    AND p.purchase_ts < (SELECT w FROM wm))
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_l
+UNION ALL SELECT * FROM unmatched_r
+""",
+)
+def stream_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8c: watermarked stream-stream FULL OUTER join — both
+    unmatched sides surface with nulls at their respective state
+    evictions, and the two horizons DIFFER, which is the point of
+    the exercise: an unmatched view can only stop waiting once the
+    watermark passes view_ts + 30 min (a qualifying purchase may
+    still arrive anywhere in that window), while an unmatched
+    purchase stops at purchase_ts itself (any qualifying view must
+    satisfy view_ts ≤ purchase_ts, so nothing in the future can
+    pair with it). The oracle encodes exactly those two cutoffs
+    against the final global watermark; verified row-identical at
+    sf0.001/0.01/0.1 before wiring in."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "full_outer",
+    ).select(
+        "view_id", "purchase_id", "user_id", "p_user_id",
+        "view_ts", "purchase_ts",
+    )
+    return run_to_memory(joined, "ifsml_stream_stream_fo", "append")
