@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "scan_xml_roundtrip", "sql_parameterized", "udf_map_in_arrow",
     "dq_observe_metrics", "ts_outlier_mad",
     "stream_stream_leftouter", "stream_stream_fullouter",
+    "stream_session_append",
     # remaining never-witnessed rows-only tail
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
     "ml_gbt", "ml_svm_linear", "ml_cluster_gmm",

@@ -8,8 +8,11 @@ a watermark-advancing second batch); stateless ops use ``append``.
 Where streaming semantics equal a batch computation (windowed aggs,
 dedup of unique keys, stream-static join) the query also carries a
 DuckDB oracle, so the driver's hash gate covers genuine streaming
-execution. Watermark late-drop (T4) and custom state (T6) have no
-batch-SQL equivalent → rows-only + dedicated unit tests.
+execution. Since round 5 that includes every WATERMARK-DRIVEN
+emission set too: the late-drop kept set (T4), the outer
+stream-stream joins' null rows, and append-mode session eviction
+are all batch-expressible against the final watermark. Only custom
+arbitrary state (T6) stays rows-only + dedicated unit tests.
 
 At production scale the same plans run unchanged against Kafka with
 processing-time triggers; the state store (window/session/dedup
@@ -19,8 +22,9 @@ divergence from production: ``complete`` output mode retains every
 window ever seen, which on an unbounded stream grows state forever —
 the production form is ``append`` + watermark (state evicted once
 the watermark passes a window), as demonstrated by
-``stream_watermark_late``; ``complete`` is used here because the
-oracle contract needs the deterministic full result in one batch.
+``stream_watermark_late`` and ``stream_session_append``;
+``complete`` is used elsewhere because the oracle contract needs
+the deterministic full result in one batch.
 """
 
 from __future__ import annotations
@@ -841,3 +845,57 @@ def stream_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts", "purchase_ts",
     )
     return run_to_memory(joined, "ifsml_stream_stream_fo", "append")
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+           FROM events),
+m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+sess AS (SELECT user_id,
+                MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ROUND(SUM(value), 4) AS sum_value
+         FROM s GROUP BY user_id, sid),
+wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+SELECT session_start, session_end, user_id, n, sum_value
+FROM sess WHERE session_end < (SELECT w FROM wm)
+""",
+)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3b: session windows in the PRODUCTION configuration —
+    append mode + watermark — complementing `stream_session`'s
+    complete-mode variant (which retains every session in state
+    forever; fine for a bounded oracle run, fatal on an unbounded
+    stream). In append mode a session emits exactly once, when the
+    watermark passes its end (last event + 30-min gap) and the
+    state store evicts it; still-open sessions at end of input are
+    withheld. The oracle is the batch gaps-and-islands
+    sessionization filtered to sessions whose end precedes the
+    final watermark — verified row-identical at sf0.001/0.01/0.1.
+    At 100 TB this is the config to run: state holds only sessions
+    inside the watermark horizon, keyed by user."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "ifsml_stream_session_append", "append")
