@@ -649,7 +649,15 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source count aggregate plus a broadcast 1-row total: the
     corpus itself is only touched by the count."""
     docs = load_table(spark, sf_dir, "documents")
-    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # localCheckpoint the per-source counts: they feed both the
+    # output rows and the weight total, and without materialization
+    # Catalyst re-derives the aggregate — i.e. scans the corpus —
+    # once per consumer (plan-pinned to ONE scan in tests).
+    per_src = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
+    )
     iw = per_src.select(
         "source",
         "n_docs",

@@ -642,3 +642,45 @@ def test_semantic_dedup_reuses_checkpointed_pairs(spark, sf_dir):
     (scan count 0: both consumers read the materialized RDD)."""
     plan = explain_str(q("llm_semantic_dedup")(spark, sf_dir), "simple")
     assert plan.count("Scan parquet") == 0, plan[:3000]
+
+
+def test_temperature_mix_touches_corpus_once(spark, sf_dir):
+    """The mixture planner's only corpus contact is the per-source
+    count aggregate: one scan, source column only, and the 1-row
+    total joins back by broadcast."""
+    df = q("llm_temperature_mix")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the per-source counts are checkpointed (corpus scanned ONCE,
+    # eagerly); the final plan reads only the materialized aggregate
+    assert plan.count("Scan parquet") == 0, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dataset_card_is_single_scan(spark, sf_dir):
+    """The release card is ONE pass over documents — count-distinct
+    expands to the standard two-phase aggregate, never a second
+    scan."""
+    plan = explain_str(q("llm_dataset_card")(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+
+
+def test_outlier_mad_shuffles_only_on_user(spark, sf_dir):
+    """Median + MAD stats exchange on user_id only — no global
+    aggregation, no window sort of the full series."""
+    import re
+
+    plan = explain_str(q("ts_outlier_mad")(spark, sf_dir), "simple")
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}, keys
+
+
+def test_leakage_split_audit_is_expression_level(spark, sf_dir):
+    """The split assignment is a pure per-row expression: the only
+    exchanges are the two audit aggregates (split/lang stats and the
+    per-source leak check), both keyed — never a shuffle of the
+    corpus rows themselves on a synthetic key."""
+    plan = explain_str(q("llm_leakage_safe_split")(spark, sf_dir), "simple")
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]
+    # documents is read for both the stats and the leak audit
+    assert plan.count("Scan parquet") <= 2, plan[:3000]
