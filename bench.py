@@ -59,6 +59,11 @@ def main() -> None:
     from infofarmsparkml_spark import registry
     from infofarmsparkml_spark.session import get_spark
 
+    # 1-min load BEFORE the session spins up: the r5 bench regressed
+    # 0.98x->1.38x purely from machine contention during the driver's
+    # window; recording load with every number lets any future reader
+    # separate plan regressions from a busy box (VERDICT r5 #3).
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="infofarmsparkml-bench")
     qs = registry.queries()
     times: dict[str, float] = {}
@@ -83,6 +88,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # load context: >~2-3 at start (32 cpus) means another JVM
+        # was competing and the numbers overstate query cost
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors

@@ -65,11 +65,27 @@ def ts_lit(s: str) -> Column:
 def scratch_dir(tag: str, sf_dir: str = "") -> str:
     """Deterministic-content scratch dir for sink round-trips,
     scoped per scale factor so concurrent/interleaved runs at
-    different sf_dirs never read each other's output."""
+    different sf_dirs never read each other's output.
+
+    The path also carries a fingerprint of the source fixture
+    (mtime+size of every parquet under sf_dir): write-once callers
+    that skip the rewrite when _SUCCESS exists would otherwise
+    silently serve stale data across process lifetimes if the
+    fixture at the same path were ever regenerated (ADVICE r5) —
+    a new fingerprint yields a fresh dir, invalidating the cache."""
     base = os.path.join(tempfile.gettempdir(), "infofarmsparkml_scratch")
     os.makedirs(base, exist_ok=True)
-    suffix = os.path.basename(os.path.normpath(sf_dir)) if sf_dir else ""
-    return os.path.join(base, f"{tag}_{suffix}" if suffix else tag)
+    if not sf_dir:
+        return os.path.join(base, tag)
+    suffix = os.path.basename(os.path.normpath(sf_dir))
+    import hashlib
+
+    h = hashlib.md5()
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, name))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return os.path.join(base, f"{tag}_{suffix}_{h.hexdigest()[:10]}")
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:

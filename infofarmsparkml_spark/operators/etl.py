@@ -312,7 +312,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "etl_cdc_apply",
     oracle="""
-WITH chg AS (
+WITH keymax AS (SELECT MAX(c_custkey) AS mk FROM customer),
+chg AS (
   SELECT c_custkey, 1 AS seq, 'D' AS op,
          c_name, c_mktsegment
   FROM customer WHERE c_custkey % 10 = 0
@@ -323,7 +324,8 @@ WITH chg AS (
   SELECT c_custkey, 2, 'D', c_name, 'UPDATED'
   FROM customer WHERE c_custkey % 20 = 1
   UNION ALL
-  SELECT c_custkey + 1000000, 1, 'I', c_name || ' (new)', c_mktsegment
+  SELECT c_custkey + (SELECT mk FROM keymax) + 1, 1, 'I',
+         c_name || ' (new)', c_mktsegment
   FROM customer WHERE c_custkey % 10 = 2),
 last AS (
   SELECT * FROM (
@@ -346,7 +348,10 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes drop the row, updates replace it, inserts add it, keys
     never mentioned pass through. The fixture changelog exercises
     all paths including update-then-delete on the same key (seq 2
-    wins).
+    wins). Inserted keys are offset by MAX(c_custkey)+1 (exact
+    integer, identical in both engines) so synthetic keys can never
+    collide with real ones at any scale factor — the same
+    key-domain derivation as `etl_snapshot_diff`.
 
     Scale: the changelog compacts FIRST (one window on the CDC key,
     WindowGroupLimit-bounded) so the expensive joins against the
@@ -357,6 +362,9 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
+    # Key-domain-derived insert offset (broadcast 1-row MAX agg,
+    # answered from parquet footer stats — effectively free).
+    keymax = cust.agg(F.max("c_custkey").alias("mk"))
     chg = (
         cust.filter(F.col("c_custkey") % 10 == 0)
         .select("c_custkey", F.lit(1).alias("seq"), F.lit("D").alias("op"),
@@ -372,8 +380,10 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_name", F.lit("UPDATED").alias("c_mktsegment"))
         )
         .unionByName(
-            cust.filter(F.col("c_custkey") % 10 == 2).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            cust.filter(F.col("c_custkey") % 10 == 2)
+            .crossJoin(F.broadcast(keymax))
+            .select(
+                (F.col("c_custkey") + F.col("mk") + 1).alias("c_custkey"),
                 F.lit(1).alias("seq"), F.lit("I").alias("op"),
                 F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
                 "c_mktsegment")

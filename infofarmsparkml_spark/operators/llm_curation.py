@@ -664,7 +664,10 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.col("n_docs")) * 1000000).alias("isq"),
     )
     tot = iw.agg(F.sum("isq").alias("s"))
-    quota = (1000 * F.col("isq") / F.col("s")).cast("long")
+    # `div` is exact integer floor-division, matching the oracle's
+    # `//` — a double quotient cast to long can land on the wrong
+    # side of an integer once 1000*isq exceeds ~2^44 (ADVICE r5).
+    quota = F.expr("1000 * isq div s")
     return (
         iw.crossJoin(F.broadcast(tot))
         .select(

@@ -78,6 +78,7 @@ def canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
     numeric/bool/datetime columns produce the exact strings
     `canon_cell` would, and object columns (strings, arrays, maps,
     Decimals) still go through `canon_cell` per cell."""
+    import numpy as np
     import pandas as pd
 
     cols = sorted(pdf.columns)
@@ -86,6 +87,16 @@ def canon_frame(pdf) -> tuple[list[str], list[tuple[str, ...]]]:
     out: list[list[str]] = []
     for c in cols:
         s = pdf[c]
+        # Nullable/extension dtypes (Float64, Int64, boolean) yield
+        # pd.NA from tolist(): `x != x` raises in boolean context and
+        # str() renders '<NA>' (ADVICE r5). Degrade them to the
+        # guarded object path; the numpy fast paths below stay
+        # guard-free (numpy int/bool cannot hold NA, float NA is NaN).
+        if not isinstance(s.dtype, np.dtype):
+            out.append(
+                ["NULL" if pd.isna(v) else canon_cell(v) for v in s.tolist()]
+            )
+            continue
         kind = s.dtype.kind
         if kind == "f":
             # x != x is the NaN test; +0.0 folds -0.0 to 0.0
