@@ -828,6 +828,31 @@ def test_audio_features_match_analytic_tone(spark, sf_dir):
         assert abs(r.zero_crossings - expect_zc) <= 3, r
 
 
+def test_knn_join_recall_vs_exact(spark, sf_dir):
+    """The r6 SRP-banded `llm_knn_join` (8 bands x 4 sign bits) must
+    recover most true top-5 euclidean neighbors: recall@5 >= 0.6 vs
+    the brute-force `llm_knn_join_exact` baseline on the shared 5%
+    query subset (measured 0.75 at both sf0.001 and sf0.01). Also
+    pins the output contract: <= 5 neighbors per query, dense ranks
+    from 1, no self-pairs, distances non-decreasing in rank."""
+    approx = q("llm_knn_join")(spark, sf_dir).collect()
+    exact = q("llm_knn_join_exact")(spark, sf_dir).collect()
+    aset = {(r.qid, r.nid) for r in approx if r.qid % 20 == 0}
+    eset = {(r.qid, r.nid) for r in exact}
+    assert eset, "exact baseline returned nothing"
+    assert len(aset & eset) / len(eset) >= 0.6
+    by_q: dict[int, list] = {}
+    for r in approx:
+        assert r.qid != r.nid
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        dists = [r.euclidean for r in rows]
+        assert dists == sorted(dists)
+
+
 def test_semantic_dedup_ledger_invariants(spark, sf_dir):
     """The drop ledger must map every dropped vector to a smaller-id
     canonical at cos >= 0.95, drop exactly the vectors that have a

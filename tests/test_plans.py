@@ -548,6 +548,28 @@ def test_embedding_neardup_is_band_bucketed(spark, sf_dir):
     assert bucket_joins, join_keys or plan[:3000]
 
 
+def test_knn_join_is_band_bucketed(spark, sf_dir):
+    """r6 rewrite: llm_knn_join dropped the vec_id<2000 MLlib
+    approxSimilarityJoin kernel for corpus-wide banded SRP-LSH.
+    Candidate pairing must be an equi-join on the (band, bkey)
+    bucket key — no cartesian, no nested-loop anywhere (unlike
+    neardup there is no keymax crossJoin here)."""
+    import re
+
+    plan = explain_str(q("llm_knn_join")(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    join_keys = re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+        r"\[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    bucket_joins = [
+        (l, r) for l, r in join_keys if "band" in l and "bkey" in l
+    ]
+    assert bucket_joins, join_keys or plan[:3000]
+
+
 def test_spatial_grid_hot_cell_gets_aqe_skew_split(spark, sf_dir):
     """Exercises (not just argues) the join_spatial_grid docstring
     claim that "a hot cell degrades to an AQE skew split, not a
