@@ -867,7 +867,7 @@ sess AS (SELECT user_id,
          FROM s GROUP BY user_id, sid),
 wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
 SELECT session_start, session_end, user_id, n, sum_value
-FROM sess WHERE session_end < (SELECT w FROM wm)
+FROM sess WHERE session_end <= (SELECT w FROM wm)
 """,
 )
 def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,8 +879,14 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passes its end (last event + 30-min gap) and the
     state store evicts it; still-open sessions at end of input are
     withheld. The oracle is the batch gaps-and-islands
-    sessionization filtered to sessions whose end precedes the
-    final watermark — verified row-identical at sf0.001/0.01/0.1.
+    sessionization filtered to sessions with end ≤ the final
+    watermark — `<=`, not `<`: a session ending exactly AT the
+    watermark IS evicted and emitted, like windowed aggregation and
+    unlike the stream-stream outer joins' strictly-less null-row
+    horizons; all three boundary conventions are pinned with
+    planted boundary-sitting timestamps in
+    tests/test_streaming_boundaries.py (ADVICE r5). Verified
+    row-identical at sf0.001/0.01/0.1.
     At 100 TB this is the config to run: state holds only sessions
     inside the watermark horizon, keyed by user."""
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
