@@ -419,6 +419,156 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(tracked, "ifsml_stream_stateful", "update")
 
 
+def _fold_user_frames(n, total, last_us, pdfs):
+    """The per-user accumulator fold shared by BOTH stateful-API
+    twins (T6 applyInPandasWithState, T6b transformWithState):
+    count, value sum, last-seen µs over a sequence of pandas
+    batches."""
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+    return n, total, last_us
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen", T.TimestampType()),
+    ]
+)
+_TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def make_user_tracker_processor():
+    """Build the StatefulProcessor for `stream_stateful_tws` —
+    deferred import so environments without the TWS runtime deps can
+    still import this module. The class is unit-tested directly
+    (tests/test_streaming.py drives init/handleInputRows against a
+    stub handle), independent of whether the runtime can execute it."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("acc", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_us = (
+                self.state.get() if self.state.exists() else (0, 0.0, 0)
+            )
+            n, total, last_us = _fold_user_frames(n, total, last_us, rows)
+            self.state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "last_seen": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTracker()
+
+
+def tws_runtime_available() -> bool:
+    """transformWithState's state-server protocol serializes over
+    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2); without
+    the `protobuf` package the driver worker crashes at PRE_INIT
+    (probed on this container: ImportError from
+    google.protobuf.descriptor). No pip installs allowed here, so
+    the execution path is capability-gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@query(
+    "stream_stateful_tws",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6b: the Spark-4 `transformWithStateInPandas` twin of T6 —
+    the same per-user accumulator expressed as a StatefulProcessor
+    (init → getValueState, handleInputRows folds each batch, update
+    mode, TimeMode None) so BOTH arbitrary-state APIs are exercised.
+    The fold itself is shared code (`_fold_user_frames`), so the two
+    APIs provably compute the same thing, and the oracle is the same
+    batch aggregate as T6.
+
+    Environment gate: TWS needs RocksDB state stores (bundled) AND
+    the protobuf Python package for its state-server protocol —
+    absent in this container (`tws_runtime_available`), so execution
+    falls back to the applyInPandasWithState engine with the
+    IDENTICAL fold; on a protobuf-equipped cluster the TWS path runs
+    as written. The processor class is unit-tested directly either
+    way, and the gate decision is itself asserted in tests."""
+    import pandas as pd
+
+    ev = read_events_stream(spark, sf_dir)
+    if tws_runtime_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        tracked = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=make_user_tracker_processor(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory(tracked, "ifsml_stream_tws", "update")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track_user(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        n, total, last_us = _fold_user_frames(n, total, last_us, pdfs)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    tracked = ev.groupBy("user_id").applyInPandasWithState(
+        track_user,
+        _TWS_OUT_SCHEMA,
+        _TWS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(tracked, "ifsml_stream_tws", "update")
+
+
 @query(
     "stream_join",
     oracle="""
