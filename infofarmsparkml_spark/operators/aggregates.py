@@ -630,3 +630,100 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )
+
+
+@query(
+    "agg_count_min_topk",
+    oracle="""
+WITH rows_k AS (
+  SELECT l_partkey AS k, r
+  FROM lineitem CROSS JOIN range(4) t(r)),
+hashed AS (
+  SELECT k, r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '_'
+                                      || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS col
+  FROM rows_k),
+sketch AS (
+  SELECT r, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY r, col),
+cand AS (
+  SELECT DISTINCT k, r,
+         CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || '_'
+                                      || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS col
+  FROM rows_k),
+est AS (
+  SELECT c.k, MIN(s.cnt) AS cm_estimate
+  FROM cand c JOIN sketch s ON s.r = c.r AND s.col = c.col
+  GROUP BY c.k),
+truth AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM lineitem GROUP BY l_partkey)
+SELECT e.k AS part, e.cm_estimate, t.true_count,
+       e.cm_estimate - t.true_count AS overestimate
+FROM est e JOIN truth t ON t.k = e.k
+ORDER BY e.cm_estimate DESC, e.k
+LIMIT 10
+""",
+)
+def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-10 parts by CM estimate
+    (depth 4 × width 64, rows hashed with md5-derived functions so
+    both engines build the bit-identical sketch), joined against
+    exact counts to surface the overestimate — CM never
+    underestimates, asserted in tests. Complements the native
+    `agg_approx_top_k`: this is the sketch you OWN, i.e. the one
+    that can be merged across days/streams by cell-wise addition.
+
+    Scale: the sketch build is one hash aggregate with 256 (r,col)
+    groups — fully map-side combinable, so 100 TB collapses to 256
+    rows per partition before the exchange; the ×4 row expansion
+    happens inside the scan stage. The estimate pass touches only
+    DISTINCT keys (vocabulary-, not corpus-sized) against the
+    256-row broadcast sketch."""
+    width = 64
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    r_col = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit("_"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    hashed = li.select("k", r_col).withColumn("col", col)
+    sketch = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = (
+        li.distinct().select("k", r_col).withColumn("col", col)
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "k")
+        .select(
+            F.col("k").alias("part"),
+            "cm_estimate",
+            "true_count",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("cm_estimate"), "part")
+        .limit(10)
+    )

@@ -375,3 +375,81 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select(F.col("node").alias("part"), F.col("d").alias("dist"))
+
+
+def _lpa_oracle(n_rounds: int = 3) -> str:
+    """Round-unrolled synchronous min-label propagation (DuckDB):
+    one aggregate CTE per round, exactly mirroring the Spark
+    iteration — both engines compute the identical deterministic
+    label set, so an LSH-free iterative graph op gets a full hash
+    check."""
+    parts = [
+        """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+l{i} AS (
+  SELECT n.node, LEAST(n.label, MIN(p.label)) AS label
+  FROM l{i - 1} n JOIN edges e ON e.dst = n.node
+       JOIN l{i - 1} p ON p.node = e.src
+  GROUP BY n.node, n.label)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node AS part, CAST(label AS BIGINT) AS label FROM l{n_rounds}"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous min-label propagation
+    (3 rounds) over the co-purchase graph: every node starts
+    labeled with its own id; each round it adopts the minimum of
+    its label and its neighbors' labels. Min-label update makes the
+    rounds fully deterministic (unlike frequency-based LPA's random
+    tie-breaks), so the bounded-round state is SQL-oracle-checkable;
+    run to fixpoint it converges to connected components
+    (`llm_dedup_components` is the fixpoint variant of this same
+    pattern).
+
+    Scale: the edge list is hash-partitioned on src BEFORE its one
+    checkpoint (the `graph_pagerank` discipline) so all rounds
+    reuse one edge exchange; per round only the node-label vector
+    moves — one join + one aggregate shuffled on the node key, and
+    per-round localCheckpoint keeps the plan from growing with
+    iteration count."""
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(3):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "node")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("nbr_min")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("label").cast("long").alias("label")
+    )

@@ -781,3 +781,176 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@query(
+    "llm_dedup_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END
+         || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+         || '.example.com/doc/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&utm_campaign='
+                      || CAST(doc_id % 4 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(regexp_replace(url, '^https?://', ''),
+                              '^([^/?]+)', 1))
+         || regexp_replace(
+              regexp_replace(
+                regexp_extract(regexp_replace(url, '^https?://', ''),
+                               '^[^/?]+([^?]*)', 1),
+                '\\?.*$', ''),
+              '/$', '') AS canonical_url
+  FROM u)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canonical_url
+""",
+)
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup stage of every
+    crawl pipeline (one page, many crawl URLs): strip the scheme,
+    lowercase the host, drop the query string (tracking params) and
+    the trailing slash, then keep the smallest doc_id per canonical
+    URL. The fixture has no URL column, so URLs are synthesized
+    deterministically from (source, doc_id) WITH the noise the
+    canonicalizer must defeat — http/https mix, upper-cased hosts,
+    utm tracking params, trailing slashes — and doc_id % 50 paths
+    force real collisions. Canonicalization operates on the URL
+    STRING (regex host/path split), not on the components it was
+    built from, so the oracle genuinely checks the normalizer.
+
+    Scale: pure per-row codegen string ops + ONE hash aggregate on
+    the canonical key (uniform by construction, no skew); the
+    keeper rule (MIN doc_id) is associative, so map-side combine
+    applies. Same decision contract as `llm_exact_dedup` (hash) and
+    `llm_semantic_dedup` (embedding): smallest-id canonical wins."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/doc/"),
+        (did % 50).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign="),
+                (did % 4).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    stripped = F.regexp_replace("url", r"^https?://", "")
+    host = F.lower(F.regexp_extract(stripped, r"^([^/?]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(stripped, r"^[^/?]+([^?]*)", 1), r"\?.*$", ""
+        ),
+        r"/$",
+        "",
+    )
+    canon = u.select("doc_id", F.concat(host, path).alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "llm_perplexity_bucket",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+doc_score AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.cnt) AS BIGINT) AS sum_cnt,
+         CAST(SUM(f.cnt) AS DOUBLE) / COUNT(*) AS score
+  FROM tok t JOIN freq f ON f.w = t.w GROUP BY t.doc_id),
+mu AS (
+  SELECT CAST(SUM(sum_cnt) AS DOUBLE) / SUM(n_tokens) AS mu
+  FROM doc_score),
+banded AS (
+  SELECT d.*,
+         CASE WHEN score < mu * 0.8  THEN '1_very_rare'
+              WHEN score < mu * 0.95 THEN '2_rare'
+              WHEN score < mu * 1.05 THEN '3_typical'
+              WHEN score < mu * 1.2  THEN '4_common'
+              ELSE '5_very_common' END AS bucket
+  FROM doc_score d CROSS JOIN mu)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(sum_cnt) AS DOUBLE) / SUM(n_tokens), 6)
+         AS pooled_mean_freq,
+       ROUND(MIN(score), 6) AS min_score,
+       ROUND(MAX(score), 6) AS max_score
+FROM banded GROUP BY bucket
+""",
+)
+def llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality banding: each document scored by the
+    mean corpus frequency of its tokens (rare-token docs ≈ high
+    perplexity), then banded into five buckets by ratio to the
+    corpus pooled mean — the curation step that picks retention
+    rates per quality band (à la CCNet's perplexity buckets).
+
+    Engine-exactness: the score is one IEEE division of two exact
+    integers (token-count sums), and the band thresholds are single
+    multiplies of the exact pooled mean — no transcendental (`ln`)
+    anywhere near a comparison, unlike `llm_unigram_logprob` whose
+    rounded display value tolerates ulp drift. Banding by
+    corpus-relative thresholds instead of ntile keeps the operator
+    fully distributed: no global sort exists at any scale — scoring
+    is the `llm_unigram_logprob` two-pass join, the mean is a 1-row
+    broadcast, the banding a per-row CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_score = (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .withColumn(
+            "score", F.col("sum_cnt").cast("double") / F.col("n_tokens")
+        )
+    )
+    mu = doc_score.agg(
+        (F.sum("sum_cnt").cast("double") / F.sum("n_tokens")).alias("mu")
+    )
+    bucket = (
+        F.when(F.col("score") < F.col("mu") * 0.8, F.lit("1_very_rare"))
+        .when(F.col("score") < F.col("mu") * 0.95, F.lit("2_rare"))
+        .when(F.col("score") < F.col("mu") * 1.05, F.lit("3_typical"))
+        .when(F.col("score") < F.col("mu") * 1.2, F.lit("4_common"))
+        .otherwise(F.lit("5_very_common"))
+    )
+    return (
+        doc_score.crossJoin(F.broadcast(mu))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("sum_cnt").cast("double") / F.sum("n_tokens"), 6
+            ).alias("pooled_mean_freq"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )

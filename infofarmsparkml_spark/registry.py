@@ -97,9 +97,8 @@ _PRIORITY: list[str] = [
     "llm_knn_join", "etl_cdc_apply",
     # round-6 additions (registered this round, never checked)
     "stream_stateful_tws", "llm_knn_join_exact",
-    "ts_resample_agg", "graph_label_propagation",
-    "llm_dedup_url", "agg_count_min_topk",
-    "win_sessionize_sql", "llm_perplexity_bucket",
+    "graph_label_propagation", "llm_dedup_url",
+    "agg_count_min_topk", "llm_perplexity_bucket",
     # ---- position 51+: round-7 queue (not in this round's slate) --
     # (re-witness rotation: proven-green high-value plans, cheapest
     # first so they can also backfill slate slots harmlessly)

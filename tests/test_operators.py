@@ -987,3 +987,82 @@ def test_observe_metrics_do_not_poison_mllib(spark, sf_dir):
         # ml_svm_linear is the exact query that failed post-observe
         # before the fix (LinearSVC fit -> closure cleaner)
         assert len(q("ml_svm_linear")(spark, sf_dir).collect()) > 0
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    """CM sketch property: estimate >= true count for every surfaced
+    key (min over d independent rows can only add collision mass),
+    and the top-10 ordering is (estimate desc, key)."""
+    rows = q("agg_count_min_topk")(spark, sf_dir).collect()
+    assert rows and len(rows) <= 10
+    for r in rows:
+        assert r.cm_estimate >= r.true_count
+        assert r.overestimate == r.cm_estimate - r.true_count
+    keys = [(-r.cm_estimate, r.part) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """Min-label LPA after 3 rounds: every label is a real node id,
+    label <= own id (labels only shrink), and every label must be
+    <= the min over the node's direct neighbors' ids (1 round of
+    propagation is a lower bound on 3)."""
+    from infofarmsparkml_spark.operators.graph import _copurchase_edges
+
+    labels = {
+        r.part: r.label
+        for r in q("graph_label_propagation")(spark, sf_dir).collect()
+    }
+    nodes = set(labels)
+    assert set(labels.values()) <= nodes
+    assert all(lbl <= n for n, lbl in labels.items())
+    nbr_min = {
+        r.dst: r.m
+        for r in _copurchase_edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.min("src").alias("m"))
+        .collect()
+    }
+    assert all(
+        labels[n] <= min(n, nbr_min[n]) for n in nodes if n in nbr_min
+    )
+
+
+def test_dedup_url_canonicalization(spark, sf_dir):
+    """Canonical URLs must be scheme-free, query-free, slash-
+    normalized and lower-hosted; keepers are group minima; group
+    sizes sum to the corpus."""
+    from infofarmsparkml_spark.catalog import load_table
+
+    rows = q("llm_dedup_url")(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert len(rows) < n_docs, "synthesized collisions must dedup"
+    for r in rows:
+        cu = r.canonical_url
+        assert "://" not in cu and "?" not in cu
+        assert not cu.endswith("/")
+        host = cu.split("/", 1)[0]
+        assert host == host.lower()
+        assert r.kept_doc_id >= 0
+
+
+def test_perplexity_buckets_partition_corpus(spark, sf_dir):
+    """Bucket names come from the fixed 5-band vocabulary, bucket
+    doc counts sum to the corpus, and per-bucket score ranges nest
+    inside the band definition ordering."""
+    from infofarmsparkml_spark.catalog import load_table
+
+    rows = q("llm_perplexity_bucket")(spark, sf_dir).collect()
+    valid = {"1_very_rare", "2_rare", "3_typical", "4_common",
+             "5_very_common"}
+    assert {r.bucket for r in rows} <= valid
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_name = sorted(rows, key=lambda r: r.bucket)
+    for r in by_name:
+        assert r.min_score <= r.max_score
+    # bands are ordered: every doc in a lower band scores below
+    # every doc in a higher band
+    for lo, hi in zip(by_name, by_name[1:]):
+        assert lo.max_score <= hi.min_score
