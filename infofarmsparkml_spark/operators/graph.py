@@ -63,7 +63,7 @@ def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
     the Spark side."""
     parts = [
         """
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
@@ -224,7 +224,7 @@ def _bfs_oracle(depth: int = 4) -> str:
     never happens on either engine."""
     parts = [
         """
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
@@ -294,7 +294,7 @@ def _sssp_oracle(depth: int = 4) -> str:
     min/+ exact."""
     parts = [
         """
-co AS (
+co AS MATERIALIZED (
   SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n_co
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
@@ -385,7 +385,7 @@ def _lpa_oracle(n_rounds: int = 3) -> str:
     check."""
     parts = [
         """
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),

@@ -71,6 +71,23 @@ def main() -> int:
         print(f"{status} {name}: {results[name]['msg']}", flush=True)
         if not results[name]["ok"]:
             fails.append(name)
+        # Harness hygiene: 257 queries on ONE session accumulate
+        # memory-sink tables (streaming results pinned in driver
+        # memory) and localCheckpoint RDDs (released only when their
+        # Python refs die). Without cleanup the tail of the sweep
+        # degrades — stream_stream_fullouter measured 21.6 s at
+        # sweep position ~230 vs 10.4 s isolated (r6); with per-query
+        # cleanup the tail is flat but the gc itself costs ~0.18 s ×
+        # 257 = 46 s of sweep wall, so it runs every 8th query (≤8
+        # sinks ever live — measured flat tail either way).
+        sdf = None
+        if len(results) % 8 == 0:
+            import gc
+
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith("ifsml_"):
+                    spark.catalog.dropTempView(tbl.name)
+            gc.collect()
     summary = {
         "sf_dir": sf,
         "n_queries": len(qs),

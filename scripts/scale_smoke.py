@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""100x-posture empirical smoke (VERDICT r5 #6c): run the priciest
+operators at an sf1-EQUIVALENT scale — 10x the sf0.1 fixture — and
+record wall-clock scaling ratios, validating the AQE/skew/iteration
+claims empirically rather than by plan shape alone.
+
+The driver's generator only ships sf<=0.1, so the sf1 input is
+synthesized deterministically from sf0.1: each table is the union
+of 10 copies with every key column shifted by copy_index * (max_key
++ 1) — producing 10 disjoint, internally-consistent shards, so a
+well-scaling operator should cost ~10x (near-linear), never ~100x.
+Document texts get a per-copy suffix token so the replication does
+not plant 10-way exact duplicates that the real distribution lacks.
+
+Writes SCALE_SMOKE_r{N}.json at the repo root:
+  {op: {"sf0.1_sec": a, "sf1_sec": b, "ratio": b/a, "rows": n}}
+
+Usage: python scripts/scale_smoke.py [round_number]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/infofarmsparkml_sf1"
+COPIES = 10
+
+# the sweep's priciest Spark-side operators (PARITY_r5/r6 top) —
+# iterative graph ops, segment-explode timeseries, banded LSH
+OPS = [
+    "graph_pagerank",
+    "graph_triangles",
+    "ts_gap_fill_locf",
+    "ts_interpolate_linear",
+    "llm_minhash_lsh_dedup",
+    "llm_knn_join",
+    "agg_groupby",  # flagship baseline for the linearity comparison
+]
+
+# key columns to shift per copy, per table (disjoint shards that
+# keep every FK relationship internally consistent)
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "nation": [],  # tiny dims replicate as-is (copy 0 only)
+    "region": [],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_fixture(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    for table, keys in KEYS.items():
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        if not keys:
+            df.write.mode("overwrite").parquet(out)
+            continue
+        maxes = df.agg(
+            *[F.max(k).alias(k) for k in keys]
+        ).collect()[0]
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + i * (int(maxes[k]) + 1))
+            if table == "documents":
+                # vary texts per copy: replication must not plant
+                # 10-way exact/near duplicates the real distribution
+                # lacks (would inflate every dedup's pair count)
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                )
+            if table == "embeddings":
+                # tiny deterministic per-copy rotation so copies are
+                # not bit-identical vectors (same reason as texts)
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: x
+                        + ((F.col("vec_id") + j) % 11 - 5).cast("float")
+                        * 0.003,
+                    ),
+                )
+            parts.append(c)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(out)
+        print(f"# built {table}", file=sys.stderr)
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "x"
+    from infofarmsparkml_spark import registry
+    from infofarmsparkml_spark.session import get_spark
+
+    spark = get_spark(app_name="infofarmsparkml-scale-smoke")
+    build_fixture(spark)
+    results: dict[str, dict] = {}
+    for name in OPS:
+        fn, _ = registry.get(name)
+        row: dict = {}
+        for label, sf_dir in [("sf0.1_sec", SRC), ("sf1_sec", DST)]:
+            t0 = time.time()
+            n = (
+                fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            row[label] = round(time.time() - t0, 2)
+        row["ratio"] = round(row["sf1_sec"] / max(row["sf0.1_sec"], 1e-9), 2)
+        results[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    out = {
+        "copies": COPIES,
+        "note": "sf1 = 10 disjoint key-shifted copies of sf0.1; "
+        "near-linear ratio (~10x or less) validates the scale "
+        "posture empirically",
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "ops": results,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, f"SCALE_SMOKE_r{rnd}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
