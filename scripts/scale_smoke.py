@@ -9,8 +9,9 @@ synthesized deterministically from sf0.1: each table is the union
 of 10 copies with every key column shifted by copy_index * (max_key
 + 1) — producing 10 disjoint, internally-consistent shards, so a
 well-scaling operator should cost ~10x (near-linear), never ~100x.
-Document texts get a per-copy suffix token so the replication does
-not plant 10-way exact duplicates that the real distribution lacks.
+Document texts get a per-copy suffix on EVERY token so the
+replication does not plant 10-way exact or near duplicates that the
+real distribution lacks.
 
 Writes SCALE_SMOKE_r{N}.json at the repo root:
   {op: {"sf0.1_sec": a, "sf1_sec": b, "ratio": b/a, "rows": n}}
@@ -81,11 +82,19 @@ def build_fixture(spark) -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + i * (int(maxes[k]) + 1))
             if table == "documents":
-                # vary texts per copy: replication must not plant
-                # 10-way exact/near duplicates the real distribution
-                # lacks (would inflate every dedup's pair count)
+                # vary texts per copy — PER TOKEN, not one appended
+                # token: shingle/minhash similarity barely notices a
+                # single extra token, so the r6 smoke's first run
+                # measured every copy as a near-dup of the original
+                # (10-way planted clusters -> a 20.9x minhash ratio
+                # that was pure fixture artifact). Suffixing every
+                # token keeps within-copy similarity structure
+                # intact (a bijective token map) while making
+                # cross-copy shingle sets disjoint, like real
+                # disjoint shards.
                 c = c.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1c{i}"),
                 )
             if table == "embeddings":
                 # tiny deterministic per-copy rotation so copies are
@@ -115,10 +124,18 @@ def main() -> int:
     spark = get_spark(app_name="infofarmsparkml-scale-smoke")
     build_fixture(spark)
     results: dict[str, dict] = {}
+    import gc
+
     for name in OPS:
         fn, _ = registry.get(name)
         row: dict = {}
         for label, sf_dir in [("sf0.1_sec", SRC), ("sf1_sec", DST)]:
+            # drop prior ops' localCheckpoint RDDs before timing —
+            # the same hygiene driver_sim applies: without it the
+            # JVM carries GBs of checkpointed graph/LSH state into
+            # later measurements (first r6 run: llm_knn_join sf0.1
+            # read 35.6 s under that pressure vs 6.7 s isolated)
+            gc.collect()
             t0 = time.time()
             n = (
                 fn(spark, sf_dir)

@@ -829,7 +829,8 @@ def test_audio_features_match_analytic_tone(spark, sf_dir):
 
 
 def test_knn_join_recall_vs_exact(spark, sf_dir):
-    """The r6 SRP-banded `llm_knn_join` (8 bands x 4 sign bits) must
+    """The r6 SRP-banded `llm_knn_join` (8 bands x adaptive sign
+    bits — 4 at the test SFs' N=500) must
     recover most true top-5 euclidean neighbors: recall@5 >= 0.6 vs
     the brute-force `llm_knn_join_exact` baseline on the shared 5%
     query subset (measured 0.75 at both sf0.001 and sf0.01). Also

@@ -308,3 +308,47 @@ def test_srp_quantization_is_exact_exponent_shift(x):
 
     exact = math.floor(Fraction(x) * 1048576)
     assert math.floor(x * 1048576.0) == exact
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=1 << 40))
+def test_adaptive_band_bits_matches_sql_case_chain(n):
+    """The kNN join derives its SRP band width from the corpus row
+    count twice — `_adaptive_band_bits` in Python (plan geometry)
+    and `_BAND_BITS_CASE_SQL` in the DuckDB oracle. The two are
+    generated from the same integer shifts; this property pins that
+    they agree at EVERY n, including power-of-two boundaries where
+    an off-by-one in either chain would silently re-band the oracle
+    only."""
+    import duckdb
+
+    from infofarmsparkml_spark.operators.llm import (
+        _BAND_BITS_CASE_SQL,
+        _adaptive_band_bits,
+    )
+
+    py_bits = _adaptive_band_bits(n)
+    sql_bits = duckdb.sql(
+        f"SELECT {_BAND_BITS_CASE_SQL} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+    ).fetchone()[0]
+    assert sql_bits == py_bits
+    assert 4 <= py_bits <= 16
+    # monotone non-decreasing: more data never means fewer buckets
+    assert _adaptive_band_bits(n + 1) >= py_bits
+
+
+def test_srp_plane_pool_prefix_is_r5_stable():
+    """`_SRP_W` grew 32 -> 128 planes for the adaptive kNN bands;
+    the first 32 rows MUST stay bit-identical because the near-dup
+    detector's committed oracle (and its r5 driver hash record)
+    addresses exactly those. Pin the md5 of the prefix."""
+    import hashlib
+    import json
+
+    from infofarmsparkml_spark.operators.llm import _SRP_W
+
+    assert len(_SRP_W) == 128 and all(len(r) == 64 for r in _SRP_W)
+    digest = hashlib.md5(
+        json.dumps(_SRP_W[:32]).encode()
+    ).hexdigest()
+    assert digest == "bdf31b67cbbecc4b1a267f36f1ce16a8"
