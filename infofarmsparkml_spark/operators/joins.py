@@ -420,3 +420,84 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# the conf regime under which Catalyst injects a runtime bloom
+# filter: creation side (filtered orders) small enough to build the
+# sketch, application-side scan threshold dropped so the sf0.1
+# fixture qualifies (production keeps the 10 GB default — at 100 TB
+# every fact scan clears it), broadcast disabled so the shuffle-join
+# path the rule targets is actually taken at fixture scale
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _runtime_bloom_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join `join_runtime_bloom` executes (assumes `_BLOOM_CONFS`
+    are set on the session): urgent orders x lineitem, revenue by
+    order status. Shared with the plan test so the asserted plan is
+    the exact plan the operator runs."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        lf.join(orders, lf.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            sum_cents(cents("l_extendedprice"), "sum_price", 2),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR)
+            AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: runtime bloom-filter join pruning — the third leg of the
+    fact-scan-pruning triad next to broadcast (`join_broadcast`,
+    needs a small dim) and dynamic partition pruning (`join_dpp`,
+    needs the fact partitioned on the key). When the dim is too big
+    to broadcast and the fact isn't laid out on the join key,
+    Catalyst can still build a bloom sketch of the FILTERED dim keys
+    (`bloom_filter_agg`) and push `might_contain(xxhash64(key))`
+    into the fact scan as a semi-join reduction, cutting the rows
+    that enter the shuffle to roughly the selectivity of the dim
+    predicate — at 100 TB that is the difference between shuffling
+    the whole fact table and shuffling the ~20% that can match.
+    The conf regime is scoped: Catalyst reads session confs at
+    OPTIMIZATION time, so the query is materialized eagerly
+    (`localCheckpoint` on the 3-row aggregate) under `_BLOOM_CONFS`
+    and every conf is restored before returning — no session
+    pollution (the r5 observe/MLlib lesson). The executed plan's
+    bloom nodes are asserted in tests/test_plans.py against THIS
+    plan via the shared `_runtime_bloom_plan` builder; the bloom
+    filter is semantics-preserving, so the oracle is the plain
+    filtered join."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = _runtime_bloom_plan(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

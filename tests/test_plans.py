@@ -706,3 +706,48 @@ def test_leakage_split_audit_is_expression_level(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan[:3000]
     # documents is read for both the stats and the leak audit
     assert plan.count("Scan parquet") <= 2, plan[:3000]
+
+
+def test_runtime_bloom_filter_is_injected(spark, sf_dir):
+    """`join_runtime_bloom` claims Catalyst injects a bloom
+    semi-join reduction into the fact scan under `_BLOOM_CONFS`.
+    Assert it on the EXACT plan the operator executes (shared
+    `_runtime_bloom_plan` builder, same conf regime): the filtered
+    orders side must aggregate into `bloom_filter_agg` and the
+    lineitem side must filter through `might_contain` BEFORE the
+    join's exchange — the semi-join reduction that keeps ~80% of a
+    100 TB fact table out of the shuffle."""
+    from infofarmsparkml_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _runtime_bloom_plan,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = explain_str(_runtime_bloom_plan(spark, sf_dir), "simple")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:3000]
+    assert "might_contain" in plan, plan[:3000]
+    # and the registered query must restore every conf it scoped
+    for k in _BLOOM_CONFS:
+        assert spark.conf.get(k, None) == old[k]
+
+
+def test_runtime_bloom_query_restores_session_confs(spark, sf_dir):
+    """The registered query materializes under scoped confs; after
+    it returns, the session must be exactly as before (the r5
+    observe/MLlib session-pollution class of bug)."""
+    from infofarmsparkml_spark.operators.joins import _BLOOM_CONFS
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    out = q("join_runtime_bloom")(spark, sf_dir)
+    assert out.count() > 0
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    assert after == before
