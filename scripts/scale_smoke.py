@@ -34,14 +34,20 @@ DST = "/tmp/infofarmsparkml_sf1"
 COPIES = 10
 
 # the sweep's priciest Spark-side operators (PARITY_r5/r6 top) —
-# iterative graph ops, segment-explode timeseries, banded LSH
+# banded LSH, segment-explode timeseries, iterative graph ops.
+# ORDER MATTERS for measurement fidelity: the LSH ops run FIRST —
+# measured after the iterative graph ops, llm_knn_join's sf0.1
+# leg read 35-44 s in a heap-stressed JVM vs ~10 s fresh (its own
+# sf1 leg, running second, even came out FASTER than sf0.1 —
+# impossible for real compute). Graph ops go last; agg_groupby is
+# the tiny linearity control and is insensitive to position.
 OPS = [
-    "graph_pagerank",
-    "graph_triangles",
-    "ts_gap_fill_locf",
-    "ts_interpolate_linear",
     "llm_minhash_lsh_dedup",
     "llm_knn_join",
+    "ts_gap_fill_locf",
+    "ts_interpolate_linear",
+    "graph_pagerank",
+    "graph_triangles",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]
 

@@ -829,7 +829,7 @@ def test_audio_features_match_analytic_tone(spark, sf_dir):
 
 
 def test_knn_join_recall_vs_exact(spark, sf_dir):
-    """The r6 SRP-banded `llm_knn_join` (8 bands x adaptive sign
+    """The r6 SRP-banded `llm_knn_join` (16 bands x adaptive sign
     bits — 4 at the test SFs' N=500) must
     recover most true top-5 euclidean neighbors: recall@5 >= 0.6 vs
     the brute-force `llm_knn_join_exact` baseline on the shared 5%
@@ -1067,3 +1067,30 @@ def test_perplexity_buckets_partition_corpus(spark, sf_dir):
     # every doc in a higher band
     for lo, hi in zip(by_name, by_name[1:]):
         assert lo.max_score <= hi.min_score
+
+
+def test_knn_join_recall_in_adaptive_band_regime(spark):
+    """The occupancy-adaptive band width changes the kNN join's LSH
+    geometry above N=1023 (sf0.1: N=2000 -> 5-bit bands, 32 buckets
+    vs 16). Recall must hold in THAT regime too, not just at the
+    test SFs' 4-bit layout — and on this near-random corpus the
+    5-bit regime is the hardest case (real corpora cluster; the sf1
+    smoke fixture measures recall 1.0): recall@5 >= 0.7 vs the
+    brute-force baseline on the shared 5% query subset at sf0.1
+    (measured 0.752 at 16 bands; the same volume of candidates
+    gave only 0.48 at 8 bands, which is why the join runs 16).
+    Pinned at sf0.1 explicitly — the sf_dir fixture never reaches
+    the adaptive regime."""
+    from infofarmsparkml_spark.operators.llm import _adaptive_band_bits
+
+    sf01 = "/root/testdata/sf0.1"
+    n = spark.read.parquet(f"{sf01}/embeddings.parquet").count()
+    assert _adaptive_band_bits(n) > 4, (
+        f"fixture too small (N={n}) to exercise the adaptive regime"
+    )
+    approx = q("llm_knn_join")(spark, sf01).collect()
+    exact = q("llm_knn_join_exact")(spark, sf01).collect()
+    aset = {(r.qid, r.nid) for r in approx if r.qid % 20 == 0}
+    eset = {(r.qid, r.nid) for r in exact}
+    assert eset, "exact baseline returned nothing"
+    assert len(aset & eset) / len(eset) >= 0.7

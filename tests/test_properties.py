@@ -338,7 +338,7 @@ def test_adaptive_band_bits_matches_sql_case_chain(n):
 
 
 def test_srp_plane_pool_prefix_is_r5_stable():
-    """`_SRP_W` grew 32 -> 128 planes for the adaptive kNN bands;
+    """`_SRP_W` grew 32 -> 256 planes for the adaptive kNN bands;
     the first 32 rows MUST stay bit-identical because the near-dup
     detector's committed oracle (and its r5 driver hash record)
     addresses exactly those. Pin the md5 of the prefix."""
@@ -347,7 +347,7 @@ def test_srp_plane_pool_prefix_is_r5_stable():
 
     from infofarmsparkml_spark.operators.llm import _SRP_W
 
-    assert len(_SRP_W) == 128 and all(len(r) == 64 for r in _SRP_W)
+    assert len(_SRP_W) == 256 and all(len(r) == 64 for r in _SRP_W)
     digest = hashlib.md5(
         json.dumps(_SRP_W[:32]).encode()
     ).hexdigest()
