@@ -453,3 +453,111 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part"), F.col("label").cast("long").alias("label")
     )
+
+
+from infofarmsparkml_spark.operators.llm import _CC_ORACLE  # noqa: E402
+
+
+@query("graph_cc_star", oracle=_CC_ORACLE)
+def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") over the same signature-edge graph as
+    `llm_dedup_components` — two algorithms, one recursive-CTE
+    ground truth (`_CC_ORACLE`), identical answers asserted.
+
+    Why both exist: min-label propagation converges in
+    O(graph diameter) rounds — fine for dense dup clusters, but a
+    100 TB corpus with chain-shaped near-dup paths (docs A~B~C~...
+    where ends never meet a shared signature) pays one full
+    join+agg sweep per hop. Star contraction converges in
+    O(log n) rounds REGARDLESS of diameter: large-star hangs every
+    node's larger neighbors onto its minimum neighbor (halving tall
+    structures), small-star flattens each node's smaller neighbors
+    onto the local minimum. Each phase is one groupBy-min plus one
+    bucket-keyed join on the node key — the same shuffle shape as
+    min-label, just fewer rounds.
+
+    Convergence check per round is one count over the distinct
+    union of successive canonical edge sets (equal iff both counts
+    match the union's) — exact, no checksum heuristic. The fixture's
+    dup clusters are tiny, so both algorithms take 2 rounds there;
+    the separation shows on the worst case: a 64-node chain
+    converges in 7 star rounds (unit-tested) where min-label needs
+    ~63 sweeps. Per-round localCheckpoint truncates lineage exactly
+    as the other iterative ops do."""
+    from infofarmsparkml_spark.operators.llm import _signature_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    sym = _signature_edges(spark, sf_dir).localCheckpoint(eager=True)
+    stars, _rounds = _star_contract(sym)
+    stars = stars.select(F.col("h").alias("doc_id"), F.col("l").alias("comp"))
+    return (
+        docs.select("doc_id")
+        .join(stars, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+
+
+def _star_contract(sym: DataFrame) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction to fixpoint over a
+    SYMMETRIC self-loop-free edge list (u, v). Returns the
+    canonical star edges (h, l) — at fixpoint exactly one row per
+    non-root node, l = its component minimum — and the round count
+    (O(log n); the chain-graph unit test pins the bound)."""
+    # canonical form is (h, l) with h > l
+    prev = (
+        sym.filter(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("h"), F.col("v").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(16):
+        rounds += 1
+        # LARGE-STAR: m = min(Γ(u) ∪ {u}); (v, m) for v ∈ Γ(u), v > u.
+        # m <= u < v, so no self-loops.
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # SMALL-STAR on the oriented (h > l) form: m = min(Γ⁻(h));
+        # (l, m) for every smaller neighbor except the min itself,
+        # plus (h, m).
+        o = large.select(
+            F.greatest("a", "b").alias("h"), F.least("a", "b").alias("l")
+        ).distinct()
+        sm = o.groupBy("h").agg(F.min("l").alias("m"))
+        cur = (
+            o.join(sm, "h")
+            .filter(F.col("l") != F.col("m"))
+            .select(F.col("l").alias("h"), F.col("m").alias("l"))
+            .union(sm.select(F.col("h"), F.col("m").alias("l")))
+            .select(
+                F.greatest("h", "l").alias("h"), F.least("h", "l").alias("l")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_prev, n_cur = prev.count(), cur.count()
+        n_union = prev.union(cur).distinct().count()
+        converged = n_prev == n_cur == n_union
+        prev = cur
+        if converged:
+            break
+        sym = cur.select(F.col("h").alias("u"), F.col("l").alias("v")).union(
+            cur.select(F.col("l").alias("u"), F.col("h").alias("v"))
+        )
+    # at fixpoint every edge is (node, component-min); singletons
+    # and roots are absent (they label themselves downstream)
+    return prev, rounds

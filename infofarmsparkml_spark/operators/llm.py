@@ -213,9 +213,12 @@ def _signature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_components",
-    oracle="""
+# Ground truth for connected components over the signature-edge
+# graph (transitive closure by recursive CTE) — shared by BOTH
+# component algorithms: `llm_dedup_components` (min-label
+# propagation) and `graph_cc_star` (large-star/small-star). Two
+# algorithms, one oracle: identical answers are part of the check.
+_CC_ORACLE = """
 WITH RECURSIVE
 sigs AS (
   SELECT doc_id,
@@ -237,8 +240,10 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
 FROM reach GROUP BY src
-""",
-)
+"""
+
+
+@query("llm_dedup_components", oracle=_CC_ORACLE)
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: duplicate-cluster resolution — connected components over
     the near-dup candidate graph by iterative min-label propagation

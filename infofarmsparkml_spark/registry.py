@@ -99,7 +99,7 @@ _PRIORITY: list[str] = [
     "stream_stateful_tws", "llm_knn_join_exact",
     "graph_label_propagation", "llm_dedup_url",
     "agg_count_min_topk", "llm_perplexity_bucket",
-    "join_runtime_bloom",
+    "join_runtime_bloom", "graph_cc_star",
     # ---- position 51+: round-7 queue (not in this round's slate) --
     # (re-witness rotation: proven-green high-value plans, cheapest
     # first so they can also backfill slate slots harmlessly)

@@ -1094,3 +1094,39 @@ def test_knn_join_recall_in_adaptive_band_regime(spark):
     eset = {(r.qid, r.nid) for r in exact}
     assert eset, "exact baseline returned nothing"
     assert len(aset & eset) / len(eset) >= 0.7
+
+
+def test_cc_star_equals_minlabel_twin(spark, sf_dir):
+    """`graph_cc_star` and `llm_dedup_components` implement the same
+    contract (components over the signature-edge graph, min-id
+    canonical) with different algorithms and share one recursive-CTE
+    oracle — their outputs must be IDENTICAL row sets."""
+    a = {
+        (r.doc_id, r.component)
+        for r in q("graph_cc_star")(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.component)
+        for r in q("llm_dedup_components")(spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
+def test_star_contract_chain_graph_logarithmic(spark):
+    """The O(log n) claim, exercised on the structure it exists for:
+    a 64-node chain (diameter 63 — min-label's worst case at ~63
+    sweeps) must contract to a single star on node 0 in <= 8
+    large/small-star rounds (measured 7 = ceil(log2) + 1)."""
+    from pyspark.sql import functions as F
+
+    from infofarmsparkml_spark.operators.graph import _star_contract
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    sym = df.union(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    stars, rounds = _star_contract(sym)
+    labels = {r.h: r.l for r in stars.collect()}
+    assert rounds <= 8, rounds
+    assert len(labels) == 63 and all(v == 0 for v in labels.values())
