@@ -54,21 +54,54 @@ _MINHASH_BANDS = 3
 _MINHASH_ROWS = 8
 
 
-@query("llm_minhash_lsh_dedup")  # banded candidate recall is probabilistic: rows-only
+@query(
+    "llm_minhash_lsh_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents),
+tl AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+mh AS (
+  SELECT doc_id, i,
+         MIN(CAST(('0x' || substring(
+               md5(token || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT))
+           AS h
+  FROM tl, range(24) s(i)
+  GROUP BY doc_id, i),
+sig AS (
+  SELECT doc_id, i // 8 AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)) AS bk
+  FROM mh GROUP BY doc_id, i // 8),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+       ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(1.0 - len(list_intersect(ta.toks, tb.toks))
+               / (len(ta.toks) + len(tb.toks)
+                  - len(list_intersect(ta.toks, tb.toks))), 4)
+           AS jaccard_dist
+  FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+       JOIN tok tb ON tb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard_dist FROM verified
+WHERE jaccard_dist <= 0.05
+""",
+)
 def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup pairs (exact Jaccard distance ≤ 0.05) via
     hand-rolled banded MinHash LSH — the full 100 TB shape, no
     corpus shard:
 
     1. one explode + single-shuffle groupBy computes all b×r
-       minhashes per doc (min of xxhash64(token, seed_i) — JVM-side,
-       no Python);
-    2. band keys (xxhash64 of each band's r signature rows) unpivot
-       to long form (doc_id, band, bk) and docs self-join ONCE on
-       (band, bk) — candidates are generated inside buckets only,
-       never all-pairs, and the single join keeps Catalyst from
-       splitting the signature aggregate per band (plan-pinned in
-       tests/test_plans.py);
+       minhashes per doc (min over md5-derived per-seed token
+       hashes — JVM-side, no Python);
+    2. band keys (md5 of each band's r signature rows joined in
+       seed order) unpivot to long form (doc_id, band, bk) and docs
+       self-join ONCE on (band, bk) — candidates are generated
+       inside buckets only, never all-pairs, and the single join
+       keeps Catalyst from splitting the signature aggregate per
+       band (plan-pinned in tests/test_plans.py);
     3. the banded union is deduped and every candidate is verified
        with EXACT Jaccard over token sets (array_intersect /
        array_union, whole-stage codegen), so emitted distances are
@@ -79,10 +112,21 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        enough that exact verify beats two extra signature joins),
        so candidates go straight to exact verification.
 
+    FULLY SQL-ORACLED since r6 (was rows-only through r5): banding
+    is probabilistic but DETERMINISTIC — hash h_i(token) =
+    int(md5(token||'_'||i)[:8], 16) and the band key
+    md5(h_b0..h_b7 '_'-joined) are bit-identical in Spark and
+    DuckDB (the same engine-portability trick as the SRP near-dup
+    family; previously xxhash64, which only Spark has), so both
+    engines compute the identical candidate set, miss the identical
+    tail pairs, and hash-match on the exact-verified output. The
+    final Jaccard is one IEEE division of exact integer counts —
+    bit-identical — rounded on both sides.
+
     Replaces MLlib approxSimilarityJoin, which degenerates to O(n²)
     on this corpus (every pair is a candidate at its single-hash
     bucket granularity: 8.5M pairs / 400 s at sf0.1; this plan:
-    ~32 s full-corpus)."""
+    ~6 s full-corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     # localCheckpoint: tok_sets feeds the signature aggregate, both
     # size-prune sides and both verify sides — five differently-
@@ -97,7 +141,17 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             *[
-                F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}")
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("token"), F.lit(f"_{i}"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"h{i}")
                 for i in range(k)
             ]
         )
@@ -120,11 +174,14 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * _MINHASH_ROWS + j}")
-                                for j in range(_MINHASH_ROWS)
-                            ]
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"h{b * _MINHASH_ROWS + j}")
+                                    for j in range(_MINHASH_ROWS)
+                                ],
+                            )
                         ).alias("bk"),
                     )
                     for b in range(_MINHASH_BANDS)

@@ -100,6 +100,9 @@ _PRIORITY: list[str] = [
     "graph_label_propagation", "llm_dedup_url",
     "agg_count_min_topk", "llm_perplexity_bucket",
     "join_runtime_bloom", "graph_cc_star",
+    # rewritten onto engine-portable md5 hashing this round -> its
+    # new SQL oracle's first driver row (was rows-only r5)
+    "llm_minhash_lsh_dedup",
     # ---- position 51+: round-7 queue (not in this round's slate) --
     # (re-witness rotation: proven-green high-value plans, cheapest
     # first so they can also backfill slate slots harmlessly)

@@ -341,15 +341,18 @@ def test_minhash_lsh_banded_plan_shape(spark, sf_dir):
     # (1) each signature aggregate computes all b*r mins at once
     # (the old per-band branch form let Catalyst prune it into b
     # separate 8-min aggregates = 2b explode+shuffle passes)
+    # the per-seed hash is md5-derived since r6 (engine-portable,
+    # SQL-oracled): min(cast(conv(substring(md5(...)))))
     k = _MINHASH_BANDS * _MINHASH_ROWS
+    mark = "min(cast(conv(substring(md5("
     sig_aggs = [
         seg
         for seg in re.findall(r"functions=\[([^\]]*)\]", plan)
-        if "min(xxhash64" in seg
+        if mark in seg
     ]
     assert sig_aggs, plan[:3000]
     for seg in sig_aggs:
-        assert seg.count("min(xxhash64") == k, seg[:800]
+        assert seg.count(mark) == k, seg[:800]
 
 
 def test_doc_pack_heavy_window_is_sharded(spark, sf_dir):
