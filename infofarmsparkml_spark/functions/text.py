@@ -243,15 +243,32 @@ def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_aes_roundtrip")  # ciphertext is key-dependent: rows-only
+@query(
+    "fn_aes_roundtrip",
+    # ciphertext BYTES are key-dependent, but the query only
+    # exposes key-INdependent facts: PKCS#7 pads to the next full
+    # 16-byte block (always adding >= 1 byte), and a correct codec
+    # round-trips — both closed-form
+    oracle="""
+SELECT c_custkey,
+       CAST(16 * (length(c_name) // 16 + 1) AS INTEGER) AS ct_bytes,
+       TRUE AS roundtrip_ok
+FROM customer
+""",
+)
 def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level encryption round trip: AES-GCM encrypt the
+    """Column-level encryption round trip: AES encrypt the
     customer name with aes_encrypt, decrypt with aes_decrypt, and
     emit a match flag plus ciphertext length — the at-rest
     column-protection pattern (encrypt before sink, decrypt after
     scan, key from a secret store; pinned here for determinism of
     the ECB test lane — GCM mode is what production uses and is
-    exercised in the unit test). JVM-side codecs, map-only."""
+    exercised in the unit test). JVM-side codecs, map-only.
+    SQL-oracled since r6: ciphertext bytes are key-dependent, but
+    ct_bytes is just PKCS#7 block padding (16·(⌊len/16⌋+1)) and
+    roundtrip_ok is definitionally true for a correct codec — the
+    oracle states both in closed form, so a padding bug or a
+    decrypt mismatch breaks the hash."""
     cust = load_table(spark, sf_dir, "customer")
     ct = F.expr(
         "aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')"
