@@ -66,10 +66,15 @@ def _load_all_operator_modules() -> None:
 # 17 round-5 additions, and the 14-query rows-only tail — after
 # this round EVERY registered query has a driver run on record.
 # The remaining slots carry round-6 re-witnesses: `llm_knn_join`
-# (rewritten this round onto the banded SRP-LSH candidate path per
+# (rewritten this round onto occupancy-adaptive banded SRP-LSH per
 # VERDICT r5 #2 — now SQL-oracled), `etl_cdc_apply` (insert offset
-# now key-domain-derived per VERDICT r5 #4), and the round-6
-# additions. Positions 51+ queue round 7.
+# now key-domain-derived per VERDICT r5 #4), the round-6 additions
+# (`stream_stateful_tws`, `llm_knn_join_exact`, LPA/count-min/URL/
+# perplexity, `join_runtime_bloom`, `graph_cc_star`), and
+# `llm_minhash_lsh_dedup` — rewritten onto the md5 hash family this
+# round, so its new SQL oracle gets its first driver row (r5 row
+# was rows-only). tpch_q1/q3 backfill slots 49-50; positions 51+
+# queue round 7.
 _PRIORITY: list[str] = [
     # sentinels (all driver-PASS r1-r5; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
