@@ -1195,14 +1195,18 @@ cand AS (
   SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
   FROM keys a JOIN keys b
        ON a.band = b.band AND a.bkey = b.bkey
-       AND a.vec_id <> b.vec_id),
-verified AS (
+       AND a.vec_id < b.vec_id),
+half AS (
   SELECT c.qid, c.nid,
          CAST(list_sum(list_transform(range(64),
                 j -> (qa.qv[j + 1] - qb.qv[j + 1])
                      * (qa.qv[j + 1] - qb.qv[j + 1]))) AS BIGINT) AS qdist
   FROM cand c JOIN q qa ON qa.vec_id = c.qid
-       JOIN q qb ON qb.vec_id = c.nid),"""
+       JOIN q qb ON qb.vec_id = c.nid),
+verified AS (
+  SELECT qid, nid, qdist FROM half
+  UNION ALL
+  SELECT nid AS qid, qid AS nid, qdist FROM half),"""
     + _KNN_RANK_SQL,
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,12 +1256,15 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     keys = _srp_band_keys(quant, n_bands=16, band_bits=_adaptive_band_bits(n))
     a, b = keys.alias("a"), keys.alias("b")
+    # canonical pairs only (qid < nid): the bucket relation is
+    # symmetric, so each distance is computed ONCE and mirrored
+    # before ranking — half the verify work in both engines
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("qid"),
@@ -1267,9 +1274,16 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qa = quant.select(F.col("vec_id").alias("qid"), F.col("qv").alias("va"))
     qb = quant.select(F.col("vec_id").alias("nid"), F.col("qv").alias("vb"))
-    verified = (
+    half = (
         cand.join(qa, "qid").join(qb, "nid")
         .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
+    )
+    verified = half.unionByName(
+        half.select(
+            F.col("nid").alias("qid"),
+            F.col("qid").alias("nid"),
+            "qdist",
+        )
     )
     w = W.partitionBy("qid").orderBy("qdist", "nid")
     return (
