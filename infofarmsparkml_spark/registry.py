@@ -73,8 +73,10 @@ def _load_all_operator_modules() -> None:
 # perplexity, `join_runtime_bloom`, `graph_cc_star`), and
 # `llm_minhash_lsh_dedup` — rewritten onto the md5 hash family this
 # round, so its new SQL oracle gets its first driver row (r5 row
-# was rows-only). tpch_q1/q3 backfill slots 49-50; positions 51+
-# queue round 7.
+# was rows-only). The retrieval-module additions (`llm_dup_substring`
+# span-level dedup, `llm_bm25_topk` lexical ranking — both
+# SQL-oracled) fill slots 49-50 for first-time witness; positions
+# 51+ queue round 7.
 _PRIORITY: list[str] = [
     # sentinels (all driver-PASS r1-r5; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
@@ -108,6 +110,8 @@ _PRIORITY: list[str] = [
     # rewritten onto engine-portable md5 hashing this round -> its
     # new SQL oracle's first driver row (was rows-only r5)
     "llm_minhash_lsh_dedup",
+    # round-6 retrieval additions (SQL-oracled, never checked)
+    "llm_dup_substring", "llm_bm25_topk",
     # ---- position 51+: round-7 queue (not in this round's slate) --
     # (re-witness rotation: proven-green high-value plans, cheapest
     # first so they can also backfill slate slots harmlessly)

@@ -1130,3 +1130,54 @@ def test_star_contract_chain_graph_logarithmic(spark):
     labels = {r.h: r.l for r in stars.collect()}
     assert rounds <= 8, rounds
     assert len(labels) == 63 and all(v == 0 for v in labels.values())
+
+
+def test_dup_substring_known_answer_sample(spark, sf_dir):
+    """Engine-independent known answer: recompute the window-hash
+    span index in pure Python (hashlib.md5 over the same 40-char
+    windows at stride 10) for the full fixture and check the
+    per-doc counts of a sample of flagged + unflagged docs."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    holders = defaultdict(set)
+    wins = {}
+    for did, t in docs.items():
+        ws = [t[p : p + 40] for p in range(0, len(t) - 39, 10)]
+        wins[did] = [hashlib.md5(w.encode()).hexdigest() for w in ws]
+        for h in wins[did]:
+            holders[h].add(did)
+    expect = {}
+    for did in docs:
+        n_win = len(wins[did])
+        n_dup = sum(1 for h in wins[did] if len(holders[h]) >= 2)
+        expect[did] = (n_win, n_dup, 1000 * n_dup // n_win if n_win else 0)
+    got = {
+        r.doc_id: (r.n_win, r.n_dup, r.dup_permille)
+        for r in q("llm_dup_substring")(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the fixture plants near-dups: some span-sharing must exist
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """Contract checks orthogonal to the oracle hash: 3 corpus-
+    derived queries, dense ranks 1..10 each, scores positive and
+    non-increasing in rank (docs containing a query term is
+    structural: scoring is an inner join on the term)."""
+    rows = q("llm_bm25_topk")(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert sorted(by_q) == [0, 1, 2]
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_micro for r in rs]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)

@@ -754,3 +754,32 @@ def test_runtime_bloom_query_restores_session_confs(spark, sf_dir):
     assert out.count() > 0
     after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     assert after == before
+
+
+def test_dup_substring_single_hash_exchange(spark, sf_dir):
+    """The span-index claim: the cross-doc window count is built on
+    ONE exchange keyed on the window hash (repartition(h) feeds
+    both the (h, doc_id) aggregate and the per-hash window — no
+    self-join), plus the doc_id rollup. No all-pairs shape."""
+    import re
+
+    df = q("llm_dup_substring")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert sorted(keys) == ["doc_id", "h"], keys
+
+
+def test_bm25_broadcasts_query_side(spark, sf_dir):
+    """Postings stay put: the 12-term query table and the 1-row
+    corpus stats broadcast onto the tf relation (one BroadcastHash
+    equi-join + one 1-row BroadcastNestedLoop for the scalar
+    stats); the only hash exchanges are the inverted-index builds
+    on (doc_id, dl, term) / term and the final per-query scoring."""
+    plan = explain_str(q("llm_bm25_topk")(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the global term-rank window runs over the vocabulary, which
+    # is the one intentional single-partition stage
+    assert plan.count("Exchange SinglePartition") <= 2
