@@ -561,3 +561,105 @@ def _star_contract(sym: DataFrame) -> tuple[DataFrame, int]:
     # at fixpoint every edge is (node, component-min); singletons
     # and roots are absent (they label themselves downstream)
     return prev, rounds
+
+
+def _kcore_oracle(n_rounds: int = 5) -> str:
+    """Round-unrolled synchronized k-core peeling (DuckDB twin of
+    `graph_kcore`): one degree-aggregate + split per round. The
+    threshold is data-derived ((3E)//(4V), exact integer division)
+    so the peel stays meaningful at every scale factor; survivor
+    CTEs are MATERIALIZED because each feeds three consumers in the
+    next round (the two endpoint joins and the split)."""
+    parts = [
+        """
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+kth AS (SELECT (3 * count(*)) // (4 * count(DISTINCT src)) AS k
+        FROM edges),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+d{i} AS (SELECT e.src AS node, count(*) AS c
+  FROM edges e JOIN a{i - 1} s ON e.src = s.node
+       JOIN a{i - 1} t ON e.dst = t.node
+  GROUP BY e.src),
+s{i} AS MATERIALIZED (
+  SELECT a.node, COALESCE(d.c, 0) AS c
+  FROM a{i - 1} a LEFT JOIN d{i} d USING (node)),
+a{i} AS MATERIALIZED (
+  SELECT node FROM s{i} WHERE c >= (SELECT k FROM kth)),
+r{i} AS (SELECT node FROM s{i} WHERE c < (SELECT k FROM kth))"""
+        )
+    tail = " UNION ALL ".join(
+        [f"SELECT node, {i} AS rr FROM r{i}" for i in range(1, n_rounds + 1)]
+        + [f"SELECT node, 0 AS rr FROM a{n_rounds}"]
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node AS part, CAST(rr AS INTEGER) AS removed_round FROM ({tail})"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by synchronized peeling (5 rounds) over
+    the co-purchase graph: each round recomputes every surviving
+    node's degree within the surviving subgraph and removes nodes
+    below the threshold. Output is each node's peel round (1-5) or
+    0 for the surviving >=k core — the standard coreness signal for
+    graph sampling / influence pruning. The threshold is
+    data-derived, k = (3E)//(4V) (exact integer division on the
+    directed edge/vertex counts), so the peel produces a real
+    multi-round cascade at any scale factor instead of going
+    degenerate when average degree grows with SF; the bounded-round
+    contract (like `graph_label_propagation`'s 3 rounds) is what
+    makes the iterative state SQL-oracle-checkable.
+
+    Scale: edges are hash-partitioned on src before their ONE
+    checkpoint (the `graph_pagerank` discipline); per round the
+    only moving state is the alive-node vector — two semi-shaped
+    equi-joins to restrict edges, one degree aggregate on src, and
+    one checkpointed (node, degree) frame per round that both the
+    doomed and survivor splits read, so late-round plans don't
+    re-derive earlier rounds' degree joins at action time."""
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    kdf = edges.agg(
+        F.count(F.lit(1)).alias("e"), F.countDistinct("src").alias("v")
+    ).select(F.expr("(3 * e) div (4 * v)").alias("k"))
+    alive = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    peeled: DataFrame | None = None
+    for r in range(1, 6):
+        deg = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        surv = (
+            alive.join(deg, "node", "left")
+            .crossJoin(F.broadcast(kdf))
+            .select("node", F.coalesce("c", F.lit(0)).alias("c"), "k")
+            .localCheckpoint()
+        )
+        doomed = (
+            surv.filter(F.col("c") < F.col("k"))
+            .select("node", F.lit(r).cast("int").alias("removed_round"))
+        )
+        peeled = doomed if peeled is None else peeled.unionByName(doomed)
+        alive = surv.filter(F.col("c") >= F.col("k")).select("node")
+    assert peeled is not None
+    return peeled.unionByName(
+        alive.select("node", F.lit(0).cast("int").alias("removed_round"))
+    ).select(F.col("node").alias("part"), "removed_round")

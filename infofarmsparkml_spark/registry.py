@@ -113,8 +113,10 @@ _PRIORITY: list[str] = [
     # round-6 retrieval additions (SQL-oracled, never checked)
     "llm_dup_substring", "llm_bm25_topk",
     # ---- position 51+: round-7 queue (not in this round's slate) --
-    # (re-witness rotation: proven-green high-value plans, cheapest
-    # first so they can also backfill slate slots harmlessly)
+    # (first the round-6 late addition awaiting its driver row,
+    # then a re-witness rotation: proven-green high-value plans,
+    # cheapest first so they can also backfill slots harmlessly)
+    "graph_kcore",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]

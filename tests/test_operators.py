@@ -1181,3 +1181,43 @@ def test_bm25_ranking_properties(spark, sf_dir):
         scores = [r.score_micro for r in rs]
         assert all(s > 0 for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kcore_known_answer(spark, sf_dir):
+    """Engine-independent known answer: replay the 5-round
+    synchronized peel in pure Python sets/dicts over the same
+    co-purchase edges and require identical (node, round) output."""
+    from collections import defaultdict
+
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = defaultdict(set)
+    for r in lf.collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    e = sum(len(v) for v in adj.values())
+    v = len(adj)
+    k = (3 * e) // (4 * v)
+    alive = set(adj)
+    expect = {}
+    for rnd in range(1, 6):
+        deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+        doomed = {n for n in alive if deg[n] < k}
+        for n in doomed:
+            expect[n] = rnd
+        alive -= doomed
+    for n in alive:
+        expect[n] = 0
+    got = {
+        r.part: r.removed_round
+        for r in q("graph_kcore")(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the peel must be non-degenerate: some removals AND a core
+    assert 0 in got.values() and any(v > 0 for v in got.values())
