@@ -273,7 +273,7 @@ def ml_classify_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     data = _embedding_features(spark, sf_dir)
     lr = LogisticRegression(
-        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+        featuresCol="features", labelCol="label", maxIter=15, regParam=0.01
     )
     model = lr.fit(data)
     return model.transform(data).select(
@@ -316,6 +316,11 @@ def ml_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxIter=8,
         seed=42,
         coldStartStrategy="drop",
+        # block counts should track cluster parallelism, not the 10×10
+        # default: every ALS iteration shuffles user/item blocks and
+        # recommendForAllUsers cross-joins them (blocks² tasks)
+        numUserBlocks=8,
+        numItemBlocks=8,
     )
     model = als.fit(ratings)
     recs = model.recommendForAllUsers(3)
@@ -461,7 +466,7 @@ def ml_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = _embedding_features(spark, sf_dir).cache()
     lr_pred = (
         LogisticRegression(
-            featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+            featuresCol="features", labelCol="label", maxIter=15, regParam=0.01
         )
         .fit(data)
         .transform(data)
@@ -746,7 +751,7 @@ def ml_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         evaluator=ev,
         numFolds=3,
         seed=42,
-        parallelism=2,
+        parallelism=4,
     )
     model = cv.fit(data)
     rows = [
@@ -936,7 +941,14 @@ def ml_pipeline_save_load(spark: SparkSession, sf_dir: str) -> DataFrame:
                 inputCol="text", outputCol="toks", pattern=r"\s+",
                 toLowercase=True,
             ),
-            CountVectorizer(inputCol="toks", outputCol="tf", minDF=1.0),
+            # vocabSize bounds the feature dimension: unbounded vocab
+            # (the 2^18 default) makes the LR stage's weight vector —
+            # and every treeAggregate gradient — grow with corpus
+            # vocabulary, which is a scale bug at 100 TB. 4096 keeps
+            # the model broadcast-small at any SF.
+            CountVectorizer(
+                inputCol="toks", outputCol="tf", minDF=1.0, vocabSize=4096
+            ),
             IDF(inputCol="tf", outputCol="features"),
             LogisticRegression(
                 featuresCol="features", labelCol="label", maxIter=10,
