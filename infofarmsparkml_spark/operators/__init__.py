@@ -17,6 +17,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     ml,
     multimodal,
     pipeline,
+    pysource,
     retrieval,
     scans,
     setops,

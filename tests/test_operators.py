@@ -1221,3 +1221,38 @@ def test_kcore_known_answer(spark, sf_dir):
     assert got == expect
     # the peel must be non-degenerate: some removals AND a core
     assert 0 in got.values() and any(v > 0 for v in got.values())
+
+
+def test_python_datasource_partition_contract(spark, sf_dir):
+    """The batch Python DataSource must honor its partitions()
+    plan (8 shards -> 8 read tasks) and generate each id exactly
+    once across shard boundaries, with the md5-derived weight
+    matching hashlib bit-for-bit."""
+    import hashlib
+
+    from infofarmsparkml_spark.operators.pysource import (
+        _register_synth_source,
+    )
+
+    _register_synth_source(spark)
+    src = (
+        spark.read.format("ifsml_synthrows")
+        .option("n", "4096")
+        .option("partitions", "8")
+        .load()
+    )
+    assert src.rdd.getNumPartitions() == 8
+    assert src.count() == 4096
+    assert src.select("id").distinct().count() == 4096
+    row = src.filter(F.col("id") == 7).collect()[0]
+    assert row.weight == int(hashlib.md5(b"7").hexdigest()[:8], 16)
+    assert row.bucket == 7
+
+
+def test_stream_python_datasource_exactly_once(spark, sf_dir):
+    """The streaming Python DataSource drains its 400-id keyspace
+    across 2 offset-tracked micro-batches with no id duplicated or
+    dropped at the chunk boundary (sum of per-bucket counts == n)."""
+    out = q("stream_python_datasource")(spark, sf_dir)
+    assert out.count() == 8
+    assert out.agg(F.sum("n_rows")).collect()[0][0] == 400
