@@ -197,7 +197,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket totals. ``availableNow`` captures only the offset
     visible at start for simple readers, so the drain loop is
     ``processAllAvailable`` (the repo's multi-cycle convention).
-    ``sf_dir`` is unused: the source IS the data (fixed n=400)."""
+    Complete mode is safe here because the key domain is 8 buckets;
+    with an unbounded key domain the production shape is update mode
+    into an idempotent merge sink — complete-mode state would grow
+    with the domain. ``sf_dir`` is unused: the source IS the data
+    (fixed n=400)."""
     from infofarmsparkml_spark.operators._util import scratch_dir
     from infofarmsparkml_spark.streaming.ops import _state_sized
 

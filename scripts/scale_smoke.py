@@ -48,6 +48,7 @@ OPS = [
     "ts_interpolate_linear",
     "graph_pagerank",
     "graph_triangles",
+    "graph_kcore",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]
 
