@@ -531,18 +531,29 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     if tws_runtime_available():
+        # TWS requires the RocksDB provider; restore the session's
+        # previous provider afterwards so later stateful queries on
+        # the same (driver-owned) session keep their configuration
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            conf_key,
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        tracked = ev.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=make_user_tracker_processor(),
-            outputStructType=_TWS_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-        return run_to_memory(tracked, "ifsml_stream_tws", "update")
+        try:
+            tracked = ev.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=make_user_tracker_processor(),
+                outputStructType=_TWS_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            return run_to_memory(tracked, "ifsml_stream_tws", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

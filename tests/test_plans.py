@@ -506,6 +506,10 @@ def test_checkpointed_ops_do_not_rescan(spark, sf_dir):
         "etl_cdc_apply": 1,           # fixture changelog checkpointed
         "graph_triangles": 2,         # und + fwd checkpointed
         "dq_referential_integrity": 5,  # 5 tables, each scanned once
+        # edges + every per-round survivor frame checkpointed: the
+        # final 6-way union must read RDD scans, never re-derive the
+        # co-purchase self-join or earlier rounds' degree joins
+        "graph_kcore": 0,
     }
     for name, max_scans in bounds.items():
         plan = explain_str(q(name)(spark, sf_dir), "simple")
