@@ -310,3 +310,62 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "O"},
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+WITH tot AS (
+  SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem),
+cand AS (SELECT t FROM (VALUES (1),(2),(4),(8),(16),(32),(64),(128)) v(t)),
+cov AS (
+  SELECT c.t,
+         (SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                         AS BIGINT)), 0) AS BIGINT)
+          FROM lineitem WHERE l_quantity <= c.t) AS covered_cents
+  FROM cand c)
+SELECT CAST(t AS INTEGER) AS threshold, covered_cents, total_cents
+FROM cov, tot
+WHERE covered_cents * 10 >= total_cents * 9
+ORDER BY t LIMIT 1
+""",
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c: SQL scripting (Spark 4.1 ``BEGIN…END`` control flow) —
+    a doubling threshold search: the smallest power-of-two quantity
+    cutoff whose lineitems cover >= 90% of total revenue. Each WHILE
+    iteration is driver-side control flow around a fully distributed
+    statement (a pushed-filter scan + exact-cents aggregate), the
+    scripting contract at scale: the loop variable lives on the
+    driver, the data never does. Revenue is compared in integer
+    cents (the repo's exact-money convention) so the 90% gate is an
+    integer inequality — bit-identical in DuckDB, whose oracle
+    evaluates the same candidates set-wise and takes the first
+    satisfying threshold (equivalent to the doubling search because
+    coverage is monotone in t; the candidate list covers the
+    fixture-wide l_quantity domain of 1-50 at every SF)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t INT DEFAULT 1;
+          DECLARE cov BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT SUM(CAST(ROUND(l_extendedprice * 100)
+                                       AS BIGINT)) FROM lineitem);
+          SET cov = (SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                              AS BIGINT)), 0)
+                     FROM lineitem WHERE l_quantity <= t);
+          WHILE cov * 10 < total * 9 DO
+            SET t = t * 2;
+            SET cov = (SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                                AS BIGINT)), 0)
+                       FROM lineitem WHERE l_quantity <= t);
+          END WHILE;
+          SELECT t AS threshold, cov AS covered_cents,
+                 total AS total_cents;
+        END
+        """
+    )
