@@ -17,7 +17,7 @@ from infofarmsparkml_spark.operators._util import load_table
 from infofarmsparkml_spark.registry import query
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derive_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct directed edges (src, dst): parts bought in the same
     order. Symmetric by construction (both directions emitted)."""
     lf = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -31,6 +31,32 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edge list, materialized ONCE per fixture into a
+    fingerprinted scratch parquet and shared by every graph query —
+    the GraphX/GraphFrames pattern: build the graph once, run many
+    algorithms over it. Eight registered queries consume this edge
+    set; without the materialization each re-runs the lineitem
+    self-join + distinct, and at fact scale that re-derivation (a
+    full shuffle of the fact table per algorithm) would dominate
+    every algorithm's cost. The scratch path embeds the fixture
+    fingerprint (mtime+size of the source parquet, see scratch_dir)
+    so regeneration invalidates the cache; the _SUCCESS marker gates
+    readers against partial writes, with the derivation as the
+    write-once producer. Int-keyed and distinct, so the materialized
+    rows are bit-identical to the derivation on every engine."""
+    import os
+
+    from infofarmsparkml_spark.operators._util import scratch_dir
+
+    path = scratch_dir("copurchase_edges", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _derive_copurchase_edges(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
 
 
 @query(
