@@ -245,3 +245,63 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         net_cents,
         "l_orderkey bigint, l_linenumber bigint, net_cents bigint",
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok)
+SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+FROM idx
+""",
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4b: polymorphic Python UDTF (Spark 4 ``analyze()`` API) —
+    the output SCHEMA is computed at plan time from the constant
+    argument: ``ifsml_ngrams(text, 3)`` resolves to columns
+    (w1, w2, w3), ``(text, 2)`` would resolve to (w1, w2), with no
+    code change. ``analyze`` runs once on the driver during
+    resolution (AnalyzeArgument carries the constant's value);
+    ``eval`` then streams per-row on executors like any UDTF — the
+    table-function analogue of a schema-inferring reader, and the
+    API that makes generic text/feature expanders reusable across
+    callers instead of hardcoding one width per function. The
+    oracle rebuilds the trigram windows relationally (1-indexed
+    token slides); tokenization is lower + whitespace-split with
+    empties dropped on both engines."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(1, int(n.value) + 1):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = [t for t in (text or "").lower().split() if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ifsml_ngrams", NGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "ifsml_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM ifsml_udtf_docs d, LATERAL ifsml_ngrams(d.text, 3) t
+        """
+    )
