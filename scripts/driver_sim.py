@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "x"
+    load_start = round(os.getloadavg()[0], 2)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
     from pyspark.sql import SparkSession
 
@@ -90,6 +91,11 @@ def main() -> int:
             gc.collect()
     summary = {
         "sf_dir": sf,
+        # same context discipline as bench.py (VERDICT r5 #3): the
+        # box's perf band swings ~1.5x for identical code, so every
+        # wall number carries its own load context
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
         "n_queries": len(qs),
         "n_sql_oracled": len(os_),
         "n_pass": sum(1 for r in results.values() if r["ok"]),
