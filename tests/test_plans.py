@@ -787,3 +787,16 @@ def test_bm25_broadcasts_query_side(spark, sf_dir):
     # the global term-rank window runs over the vocabulary, which
     # is the one intentional single-partition stage
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_udtf_analyze_single_scan_lateral(spark, sf_dir):
+    """The polymorphic UDTF's lateral join must stream documents
+    through one scan into the Python table-function node — no
+    re-scan, no cartesian shape, and the analyze()-derived schema
+    is resolved (w1-w3 present) before execution."""
+    df = q("udtf_analyze")(spark, sf_dir)
+    assert df.columns == ["doc_id", "w1", "w2", "w3"]
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("Scan parquet") <= 1, plan[:3000]
+    assert "PythonUDTF" in plan or "EvalPython" in plan, plan[:3000]
