@@ -16,6 +16,7 @@ from infofarmsparkml_spark.operators import (  # noqa: F401
     matching,
     ml,
     multimodal,
+    pandas_api,
     pipeline,
     pysource,
     retrieval,

@@ -117,7 +117,7 @@ _PRIORITY: list[str] = [
     # then a re-witness rotation: proven-green high-value plans,
     # cheapest first so they can also backfill slots harmlessly)
     "graph_kcore", "scan_python_datasource", "stream_python_datasource",
-    "sql_scripting", "udtf_analyze",
+    "sql_scripting", "udtf_analyze", "ps_pandas_api",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]
