@@ -305,3 +305,88 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ifsml_udtf_docs d, LATERAL ifsml_ngrams(d.text, 3) t
         """
     )
+
+
+@query(
+    "udf_cogroup_arrow",
+    oracle="""
+WITH oh AS (
+  SELECT o_orderkey % 32 AS bucket,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS header_cents
+  FROM orders GROUP BY 1),
+li AS (
+  SELECT l_orderkey % 32 AS bucket,
+         COUNT(*) AS n_items,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS items_cents
+  FROM lineitem GROUP BY 1)
+SELECT CAST(oh.bucket AS BIGINT) AS bucket,
+       CAST(oh.n_orders AS BIGINT) AS n_orders,
+       CAST(COALESCE(li.n_items, 0) AS BIGINT) AS n_items,
+       CAST(oh.header_cents AS BIGINT) AS header_cents,
+       CAST(COALESCE(li.items_cents, 0) AS BIGINT) AS items_cents
+FROM oh LEFT JOIN li USING (bucket)
+""",
+)
+def udf_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: cogrouped ``applyInArrow`` (Spark 4) — the two-table
+    grouped-map entry point: orders and lineitem shard on the same
+    key-bucket, and each bucket's TWO Arrow tables arrive in one
+    Python call for batch reconciliation (exact-cents header vs
+    item totals — the audit shape that catches partial loads).
+    Receiving ``pyarrow.Table`` pairs directly skips the pandas
+    conversion entirely (the same win as mapInArrow over
+    mapInPandas). Scale contract: one Python call per BUCKET, so the
+    bucket count — not the row count — is the parallelism/batch
+    knob; per-order cogrouping would mean one interpreter call per
+    order. Per-element cents rounding happens before the Arrow sum,
+    so every total is an exact integer on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 32).alias("bucket"), "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 32).alias("bucket"), "l_extendedprice"
+    )
+
+    def reconcile(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0:
+            # lineitems whose bucket has no order header (impossible
+            # under the FK, but the cogroup contract allows it)
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "header_cents": pa.array([], pa.int64()),
+                    "items_cents": pa.array([], pa.int64()),
+                }
+            )
+        bucket = left.column("bucket")[0].as_py()
+        hdr = pc.sum(
+            pc.round(pc.multiply(left.column("o_totalprice"), 100.0))
+        ).as_py()
+        items = pc.sum(
+            pc.round(pc.multiply(right.column("l_extendedprice"), 100.0))
+        ).as_py()
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int64()),
+                "n_orders": pa.array([left.num_rows], pa.int64()),
+                "n_items": pa.array([right.num_rows], pa.int64()),
+                "header_cents": pa.array([int(hdr)], pa.int64()),
+                "items_cents": pa.array([int(items or 0)], pa.int64()),
+            }
+        )
+
+    return (
+        od.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInArrow(
+            reconcile,
+            "bucket long, n_orders long, n_items long, "
+            "header_cents long, items_cents long",
+        )
+    )
