@@ -369,3 +369,56 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_udf",
+    oracle="""
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 100, 'large'))
+SELECT l.l_orderkey, l.l_linenumber,
+       l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) AS charge,
+       t.tier
+FROM lineitem l JOIN tiers t
+  ON l.l_quantity > t.lo AND l.l_quantity <= t.hi
+""",
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2d: SQL-defined UDFs (Spark 4.1 ``CREATE FUNCTION … RETURN``)
+    — both kinds: a scalar function (the TPC-H charge formula) and a
+    TABLE function (quantity tier boundaries) consumed as a relation.
+    SQL UDFs are the zero-overhead extension point: the body inlines
+    into the plan at resolution (the charge lands inside whole-stage
+    codegen, the tier table function becomes a 3-row broadcast join —
+    no Python worker, no serde), so unlike D5's row-at-a-time Python
+    UDF they cost nothing at 100 TB. The charge column follows the
+    `udf_plain` precedent: the raw IEEE product compares at full
+    precision because both engines multiply in the same order."""
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ifsml_charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1 - disc) * (1 + tax)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ifsml_qty_tiers()
+        RETURNS TABLE(lo INT, hi INT, tier STRING)
+        RETURN SELECT * FROM VALUES
+          (0, 10, 'small'), (10, 25, 'mid'), (25, 100, 'large')
+          AS t(lo, hi, tier)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_linenumber,
+               ifsml_charge(l.l_extendedprice, l.l_discount, l.l_tax)
+                 AS charge,
+               t.tier
+        FROM lineitem l JOIN ifsml_qty_tiers() t
+          ON l.l_quantity > t.lo AND l.l_quantity <= t.hi
+        """
+    )

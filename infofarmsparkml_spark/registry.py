@@ -118,7 +118,7 @@ _PRIORITY: list[str] = [
     # cheapest first so they can also backfill slots harmlessly)
     "graph_kcore", "scan_python_datasource", "stream_python_datasource",
     "sql_scripting", "udtf_analyze", "ps_pandas_api",
-    "udf_cogroup_arrow",
+    "udf_cogroup_arrow", "sql_udf",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]
