@@ -29,12 +29,13 @@ _ORDER_COLS = [
 @query(
     "etl_merge_upsert",
     oracle="""
-WITH src AS (
+WITH keymax AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+src AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
          o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_orderpriority = '1-URGENT'
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, 'U',
+  SELECT o_orderkey + (SELECT mk FROM keymax) + 1, o_custkey, 'U',
          o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_orderpriority = '1-URGENT'
 )
@@ -57,17 +58,21 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowers to anyway; with a bucketed target (see `sink_bucketed`)
     the target side needs no exchange at all.
 
-    NOTE on the +10000000 insert offset: valid while
-    MAX(o_orderkey) < 1e7, i.e. sf <= ~1.6 (orderkey tops out at
-    6M·sf·~1.04); the driver's fixtures stop at sf0.1. Parity holds
-    at any sf (both engines compute the same thing) — only the
-    planted U-vs-I semantics would degrade past that bound. See
-    `etl_snapshot_diff` for the key-domain-derived variant."""
+    Inserted keys are offset by MAX(o_orderkey)+1 (a broadcast 1-row
+    MAX agg answered from parquet footer stats — effectively free,
+    exact integer in both engines) so synthetic insert keys can
+    never collide with real ones at any scale factor — the same
+    key-domain derivation as `etl_cdc_apply`/`etl_snapshot_diff`."""
     tgt = load_table(spark, sf_dir, "orders")
+    keymax = tgt.agg(F.max("o_orderkey").alias("mk"))
     upd = tgt.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
         "o_orderstatus", F.lit("U")
     )
-    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+    ins = (
+        upd.crossJoin(F.broadcast(keymax))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("mk") + 1)
+        .drop("mk")
+    )
     src = upd.select(*_ORDER_COLS).union(ins.select(*_ORDER_COLS))
     t, s = tgt.alias("t"), src.alias("s")
     merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
