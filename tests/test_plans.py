@@ -800,3 +800,80 @@ def test_udtf_analyze_single_scan_lateral(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert plan.count("Scan parquet") <= 1, plan[:3000]
     assert "PythonUDTF" in plan or "EvalPython" in plan, plan[:3000]
+
+
+def test_sql_udf_inlines_with_no_python_worker(spark, sf_dir):
+    """SQL-defined UDFs must inline at resolution: the scalar charge
+    function lands as a plain arithmetic Project (inside codegen —
+    no Python eval node of any kind), and the SQL table function
+    becomes a broadcast of its 3-row VALUES relation, never a
+    shuffle or a cartesian."""
+    df = q("sql_udf")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in plan, plan[:3000]
+    # range predicate on a 3-row build side -> broadcast NLJ
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "LocalTableScan" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_udf_cogroup_arrow_shards_on_bucket(spark, sf_dir):
+    """Cogrouped applyInArrow must cogroup both relations in ONE
+    Arrow node fed by exactly one bucket-hash exchange per side —
+    the bucket count is the parallelism contract, so any extra
+    exchange (or a fallback to a join) breaks the one-Python-call-
+    per-bucket scale shape."""
+    df = q("udf_cogroup_arrow")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "FlatMapCoGroupsInArrow" in plan, plan[:3000]
+    assert plan.count("Exchange hashpartitioning(bucket") == 2, plan[:3000]
+
+
+def test_ps_pandas_api_avoids_sequence_index(spark, sf_dir):
+    """The pandas-on-Spark rollup must compile to the same two-phase
+    hash aggregate as the DataFrame API with ONE exchange — and must
+    NOT carry the stock `sequence` default index, whose global
+    row-numbering shows up as a SinglePartition exchange / windowed
+    row_number before the agg (the 100-TB trap this query pins the
+    `distributed` index to avoid)."""
+    df = q("ps_pandas_api")(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "partial_sum" in plan and "partial_count" in plan, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "row_number" not in plan, plan[:3000]
+
+
+def test_sql_scripting_finds_minimal_power_of_two_threshold(spark, sf_dir):
+    """The BEGIN/END doubling search must return the SMALLEST
+    power-of-two quantity cutoff covering >= 90% of exact-cents
+    revenue: one row, t a power of two, the 90% gate holds at t and
+    fails at t/2 (re-verified here against direct aggregates)."""
+    from pyspark.sql import functions as F
+
+    rows = q("sql_scripting")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    t, cov, total = (
+        rows[0]["threshold"],
+        rows[0]["covered_cents"],
+        rows[0]["total_cents"],
+    )
+    assert t >= 1 and (t & (t - 1)) == 0, t  # power of two
+    assert cov * 10 >= total * 9
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    agg = li.agg(
+        F.sum("cents").alias("total"),
+        F.sum(F.when(F.col("l_quantity") <= t, F.col("cents")).otherwise(0)).alias("at_t"),
+        F.sum(
+            F.when(F.col("l_quantity") <= t / 2, F.col("cents")).otherwise(0)
+        ).alias("at_half"),
+    ).collect()[0]
+    assert agg["total"] == total and agg["at_t"] == cov
+    if t > 1:
+        assert agg["at_half"] * 10 < total * 9  # minimality
