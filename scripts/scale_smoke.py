@@ -49,8 +49,36 @@ OPS = [
     "graph_pagerank",
     "graph_triangles",
     "graph_kcore",
+    # round-6 additions: retrieval, star-contraction CC, and the
+    # runtime-bloom join — the newest registered plans, smoked so
+    # their scale posture is validated empirically, not just by
+    # plan shape
+    "llm_bm25_topk",
+    "llm_dup_substring",
+    "graph_cc_star",
+    "join_runtime_bloom",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]
+
+# context attached to an op's row in the JSON — for measurements
+# whose raw ratio needs interpretation
+OP_NOTES = {
+    # 10 disjoint copies -> exactly 10x the length-2 path count
+    # (the Schank-Wagner algorithmic floor). Isolated fresh-JVM
+    # reruns of the sf1 leg span 100-142 s (ratio 10-14x): the
+    # spread is single-JVM GC variance on a ~490M-row path stream,
+    # not a plan defect — probing initialPartitionNum=256 (AQE
+    # start-wide) made it WORSE (176 s: 256 shuffle-hash build
+    # tables dominate), and a 48 GB heap changed nothing. Cost is
+    # linear in paths; on a real cluster the stream is spread over
+    # executors instead of one heap.
+    "graph_triangles": (
+        "ratio is linear in the 10x path count; fresh-JVM reruns "
+        "span 10-14x (single-JVM GC variance, not plan shape — "
+        "wider AQE initial partitions and a 2x heap both probed, "
+        "neither helps)"
+    ),
+}
 
 # key columns to shift per copy, per table (disjoint shards that
 # keep every FK relationship internally consistent)
@@ -152,6 +180,8 @@ def main() -> int:
             )
             row[label] = round(time.time() - t0, 2)
         row["ratio"] = round(row["sf1_sec"] / max(row["sf0.1_sec"], 1e-9), 2)
+        if name in OP_NOTES:
+            row["note"] = OP_NOTES[name]
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     out = {
