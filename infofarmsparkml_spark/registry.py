@@ -119,6 +119,9 @@ _PRIORITY: list[str] = [
     "graph_kcore", "scan_python_datasource", "stream_python_datasource",
     "sql_scripting", "udtf_analyze", "ps_pandas_api",
     "udf_cogroup_arrow", "sql_udf",
+    # r1 driver-PASS but rewritten late in r6 (derived insert-key
+    # offset) -> re-witness the new form
+    "etl_merge_upsert",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]
