@@ -16,6 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from infofarmsparkml_spark.operators._util import load_table
+from infofarmsparkml_spark.operators.llm import (
+    _BAND_BITS_CASE_SQL,
+    _SRP_WEIGHTS_ADAPTIVE_CTES,
+    _adaptive_band_bits,
+    _double_vecs,
+    _quantize_vec,
+    _srp_band_keys,
+)
 from infofarmsparkml_spark.registry import query
 
 
@@ -953,4 +961,83 @@ def llm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("score"), 6).alias("min_score"),
             F.round(F.max("score"), 6).alias("max_score"),
         )
+    )
+
+
+@query(
+    "llm_diversity_sample",
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+q AS (SELECT vec_id, list_transform(e, x -> floor(x * 1048576.0)) AS qv
+      FROM base),"""
+    + _SRP_WEIGHTS_ADAPTIVE_CTES.format(case=_BAND_BITS_CASE_SQL, n_bands=1)
+    + """,
+sized AS (
+  SELECT vec_id, bkey AS cluster,
+         COUNT(*) OVER (PARTITION BY bkey) AS cluster_n
+  FROM keys),
+ranked AS (
+  SELECT vec_id, cluster, cluster_n,
+         GREATEST(1, CAST(floor(sqrt(cluster_n)) AS BIGINT)) AS quota,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pick_rank
+  FROM sized)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(cluster_n AS BIGINT) AS cluster_n, quota,
+       CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= quota
+""",
+)
+def llm_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style diversity-aware selection (Tirumala et al. 2023:
+    dedup THEN diversify — after near-dup removal, cluster the
+    embedding space and sample clusters flat-ish so dominant modes
+    can't swamp the mix): each vector's cluster is its SRP sign
+    signature (ONE band of `_adaptive_band_bits(n)` md5-derived
+    hyperplanes shared with the kNN join, so the cluster count
+    GROWS with the corpus and expected occupancy stays constant);
+    per-cluster quota is sqrt-flattened (floor(sqrt(|c|)), min 1 —
+    the same n^0.5 damping as `llm_temperature_mix`, here applied
+    to embedding modes instead of sources), and the quota picks
+    inside a cluster are deterministic pseudo-random: rank by
+    md5(vec_id) with a vec_id tiebreak. Every step is engine-exact
+    (integer-quantized projections, correctly-rounded sqrt of an
+    integer count, md5 ordering), so the sampled set hash-matches
+    the DuckDB oracle bit-for-bit.
+
+    100 TB: one corpus scan computes the signatures map-side (the
+    geometry count is parquet metadata only); the single exchange
+    is the cluster-key shuffle shared by both windows; cluster
+    count scales as ~n/64 so per-cluster sort stays bounded. The
+    rank filter is quota-dependent, so no WindowGroupLimit —
+    per-cluster work is the bounded-occupancy sort itself."""
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
+    keys = _srp_band_keys(
+        quant, n_bands=1, band_bits=_adaptive_band_bits(n)
+    )
+    wc = W.partitionBy("cluster")
+    wr = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = (
+        keys.select("vec_id", F.col("bkey").alias("cluster"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.count(F.lit(1)).over(wc).alias("cluster_n"),
+            F.row_number().over(wr).cast("long").alias("pick_rank"),
+        )
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.lit(1).cast("long"), F.floor(F.sqrt("cluster_n"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("pick_rank") <= F.col("quota")).select(
+        "vec_id", "cluster", "cluster_n", "quota", "pick_rank"
     )

@@ -122,6 +122,9 @@ _PRIORITY: list[str] = [
     # r1 driver-PASS but rewritten late in r6 (derived insert-key
     # offset) -> re-witness the new form
     "etl_merge_upsert",
+    # late-r6 addition (SQL-oracled, never checked): D4-style
+    # embedding-diversity sampler on the shared SRP machinery
+    "llm_diversity_sample",
     "tpch_q1", "tpch_q3", "tpch_q6",
     "ts_interpolate_linear", "graph_pagerank", "graph_triangles",
 ]

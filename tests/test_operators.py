@@ -1318,3 +1318,26 @@ def test_stream_python_datasource_recovers_across_restart(spark, sf_dir):
     row = spark.table("ifsml_pysrc_restart2").collect()[0]
     assert row["n"] == 400
     assert row["s"] == sum(_md5_weight(i) for i in range(400))
+
+
+def test_diversity_sample_cluster_quota_invariants(spark, sf_dir):
+    # D4-style sampler: every cluster is represented, per-cluster
+    # picks fill the sqrt-flattened quota exactly (quota <= |c|
+    # always, since floor(sqrt(n)) <= n), ranks are dense 1..quota,
+    # and the md5 pick order is deterministic across runs
+    rows = q("llm_diversity_sample")(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+        assert r.quota == max(1, int(r.cluster_n**0.5))
+        assert 1 <= r.pick_rank <= r.quota
+    for c, picks in by_cluster.items():
+        assert len(picks) == picks[0].quota, c
+        assert sorted(p.pick_rank for p in picks) == list(
+            range(1, picks[0].quota + 1)
+        ), c
+    again = q("llm_diversity_sample")(spark, sf_dir).collect()
+    assert sorted(r.vec_id for r in rows) == sorted(
+        r.vec_id for r in again
+    )

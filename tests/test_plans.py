@@ -877,3 +877,20 @@ def test_sql_scripting_finds_minimal_power_of_two_threshold(spark, sf_dir):
     assert agg["total"] == total and agg["at_t"] == cov
     if t > 1:
         assert agg["at_half"] * 10 < total * 9  # minimality
+
+
+def test_diversity_sample_plan_one_scan_one_exchange(spark, sf_dir):
+    """The sampler's 100-TB posture, pinned: signatures are map-side
+    over ONE corpus scan, and the only exchange is the cluster-key
+    shuffle shared by both windows (count-over and rank share the
+    partition spec, so Catalyst reuses a single hashpartitioning)."""
+    import re
+
+    df = q("llm_diversity_sample")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys == {"cluster"}, keys
