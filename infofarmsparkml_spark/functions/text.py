@@ -251,7 +251,7 @@ def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trips — both closed-form
     oracle="""
 SELECT c_custkey,
-       CAST(16 * (length(c_name) // 16 + 1) AS INTEGER) AS ct_bytes,
+       CAST(16 * (strlen(c_name) // 16 + 1) AS INTEGER) AS ct_bytes,
        TRUE AS roundtrip_ok
 FROM customer
 """,
@@ -268,7 +268,10 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct_bytes is just PKCS#7 block padding (16·(⌊len/16⌋+1)) and
     roundtrip_ok is definitionally true for a correct codec — the
     oracle states both in closed form, so a padding bug or a
-    decrypt mismatch breaks the hash."""
+    decrypt mismatch breaks the hash. AES pads the UTF-8 BYTE
+    length, so the oracle uses DuckDB strlen() (bytes), not
+    length() (characters) — byte-based on both sides even if the
+    fixture ever carries multibyte names (ADVICE r6)."""
     cust = load_table(spark, sf_dir, "customer")
     ct = F.expr(
         "aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')"

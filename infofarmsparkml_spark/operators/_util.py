@@ -72,7 +72,12 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
     that skip the rewrite when _SUCCESS exists would otherwise
     silently serve stale data across process lifetimes if the
     fixture at the same path were ever regenerated (ADVICE r5) —
-    a new fingerprint yields a fresh dir, invalidating the cache."""
+    a new fingerprint yields a fresh dir, invalidating the cache.
+    Stale siblings (same ``{tag}_{suffix}_`` prefix, different
+    hash) are pruned here (ADVICE r6): a different hash means the
+    fixture AT THE SAME PATH changed, so any content under the old
+    hash is dead by construction — no live run at this sf_dir can
+    still want it."""
     base = os.path.join(tempfile.gettempdir(), "infofarmsparkml_scratch")
     os.makedirs(base, exist_ok=True)
     if not sf_dir:
@@ -85,7 +90,51 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
         if name.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, name))
             h.update(f"{name}:{st.st_mtime_ns}:{st.st_size};".encode())
-    return os.path.join(base, f"{tag}_{suffix}_{h.hexdigest()[:10]}")
+    current = f"{tag}_{suffix}_{h.hexdigest()[:10]}"
+    prefix = f"{tag}_{suffix}_"
+    try:
+        for entry in os.listdir(base):
+            if (
+                entry.startswith(prefix)
+                and entry != current
+                and not entry.startswith(current + ".tmp-")
+            ):
+                import shutil
+
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    except OSError:
+        pass  # GC is best-effort; a failed prune only costs disk
+    return os.path.join(base, current)
+
+
+def materialize_once(path: str, write_fn) -> str:
+    """Cross-process-safe write-once cache (ADVICE r6): the naive
+    ``if no _SUCCESS: overwrite-write(path)`` races — two concurrent
+    processes that both miss the marker overwrite the same dir, and
+    Spark's overwrite DELETES the target first, so a third reader
+    of a previously valid cache can hit a partial dir mid-write.
+    Here each writer builds into its own unique temp dir and
+    atomically renames it into ``path``; POSIX rename onto an
+    existing non-empty dir fails, so losing the race is a cache hit
+    (the winner's content is bit-identical by construction — every
+    cached derivation in this repo is deterministic) and readers
+    only ever see a complete dir or none.
+
+    ``write_fn(tmp_path)`` must produce a Spark-style output dir
+    (including _SUCCESS) at ``tmp_path``."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import shutil
+    import uuid
+
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another writer won the race; ours is a redundant copy
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:

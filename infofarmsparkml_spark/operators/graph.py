@@ -43,19 +43,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shuffle of the fact table per algorithm) would dominate
     every algorithm's cost. The scratch path embeds the fixture
     fingerprint (mtime+size of the source parquet, see scratch_dir)
-    so regeneration invalidates the cache; the _SUCCESS marker gates
-    readers against partial writes, with the derivation as the
-    write-once producer. Int-keyed and distinct, so the materialized
-    rows are bit-identical to the derivation on every engine."""
-    import os
+    so regeneration invalidates the cache; materialize_once writes
+    through a unique temp dir + atomic rename, so concurrent
+    producers (pytest alongside driver_sim/bench) can't clobber
+    each other or expose a partial dir to readers (ADVICE r6).
+    Int-keyed and distinct, so the materialized rows are
+    bit-identical to the derivation on every engine."""
+    from infofarmsparkml_spark.operators._util import (
+        materialize_once,
+        scratch_dir,
+    )
 
-    from infofarmsparkml_spark.operators._util import scratch_dir
-
-    path = scratch_dir("copurchase_edges", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _derive_copurchase_edges(spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(path)
+    path = materialize_once(
+        scratch_dir("copurchase_edges", sf_dir),
+        lambda tmp: _derive_copurchase_edges(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return spark.read.parquet(path)
 
 

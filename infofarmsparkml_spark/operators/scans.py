@@ -12,7 +12,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from infofarmsparkml_spark.operators._util import load_table, scratch_dir, ts_lit
+from infofarmsparkml_spark.operators._util import (
+    load_table,
+    materialize_once,
+    scratch_dir,
+    ts_lit,
+)
 from infofarmsparkml_spark.registry import query
 
 
@@ -104,15 +109,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning time (plan shows PartitionFilters, asserted in
     tests/test_plans.py), so at 100 TB the other flags' files are
     never opened, listed row groups only."""
-    out = scratch_dir("li_prune", sf_dir)
-    # fixture-derived and immutable: write once per scratch lifetime
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .write.mode("overwrite")
-            .partitionBy("l_returnflag")
-            .parquet(out)
-        )
+    # fixture-derived and immutable: write once per scratch
+    # lifetime, through a race-safe temp-dir + atomic rename
+    out = materialize_once(
+        scratch_dir("li_prune", sf_dir),
+        lambda tmp: load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(tmp),
+    )
     return (
         spark.read.parquet(out)
         .filter(F.col("l_returnflag") == "R")
@@ -213,13 +218,17 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE mechanism that makes star-schema joins affordable
     at 100 TB: the broadcasted dim filter prunes the fact scan
     before it starts."""
-    out = scratch_dir("li_dpp", sf_dir)
     # the partitioned copy is a pure function of the immutable
     # fixture — write it once per scratch lifetime, not per run
-    # (the rewrite was 5.6 s of the query's 5.7 s at sf0.1)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        lf = load_table(spark, sf_dir, "lineitem")
-        lf.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # (the rewrite was 5.6 s of the query's 5.7 s at sf0.1);
+    # materialize_once makes the write race-safe across processes
+    out = materialize_once(
+        scratch_dir("li_dpp", sf_dir),
+        lambda tmp: load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(tmp),
+    )
     fact = spark.read.parquet(out)
     flags = spark.createDataFrame(
         [("R", 1), ("A", 0), ("N", 0)], "flag string, keep int"

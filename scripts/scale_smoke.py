@@ -14,7 +14,7 @@ replication does not plant 10-way exact or near duplicates that the
 real distribution lacks.
 
 Writes SCALE_SMOKE_r{N}.json at the repo root:
-  {op: {"sf0.1_sec": a, "sf1_sec": b, "ratio": b/a, "rows": n}}
+  {op: {"sf0.1_sec": a, "sf1_sec": b, "ratio": b/a}}
 
 Usage: python scripts/scale_smoke.py [round_number]
 """
@@ -172,12 +172,11 @@ def main() -> int:
             # read 35.6 s under that pressure vs 6.7 s isolated)
             gc.collect()
             t0 = time.time()
-            n = (
-                fn(spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
+            # noop sink: full execution, zero write cost (save()
+            # returns None — timing only, no row count here)
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             row[label] = round(time.time() - t0, 2)
         row["ratio"] = round(row["sf1_sec"] / max(row["sf0.1_sec"], 1e-9), 2)
         if name in OP_NOTES:
