@@ -77,7 +77,13 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
     hash) are pruned here (ADVICE r6): a different hash means the
     fixture AT THE SAME PATH changed, so any content under the old
     hash is dead by construction — no live run at this sf_dir can
-    still want it."""
+    still want it. Constraint (ADVICE r7): this GC assumes the
+    fixture at a given path only moves forward — a process still
+    mid-query against a PREVIOUS generation of the same sf_dir
+    (regenerated underneath it) may have its cache pruned by a
+    newer process; concurrent runs spanning a fixture regeneration
+    are unsupported (and would be reading inconsistent source data
+    regardless of this cache)."""
     base = os.path.join(tempfile.gettempdir(), "infofarmsparkml_scratch")
     os.makedirs(base, exist_ok=True)
     if not sf_dir:
@@ -120,6 +126,17 @@ def materialize_once(path: str, write_fn) -> str:
     cached derivation in this repo is deterministic) and readers
     only ever see a complete dir or none.
 
+    A failed rename is disambiguated by the _SUCCESS marker
+    (ADVICE r7/r8): ``path`` existing WITH _SUCCESS means another
+    writer won the race (cache hit); ``path`` existing WITHOUT
+    _SUCCESS is a crash-orphaned partial dir (e.g. a pre-rename-era
+    writer killed mid-write) that no correct reader can want — it is
+    removed and the rename retried, instead of being served as if
+    valid. The retry is bounded; if the target keeps reappearing as
+    a partial dir the last OSError propagates rather than silently
+    returning an incomplete cache. The temp dir is always cleaned
+    up, including when ``write_fn`` itself raises.
+
     ``write_fn(tmp_path)`` must produce a Spark-style output dir
     (including _SUCCESS) at ``tmp_path``."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -128,13 +145,27 @@ def materialize_once(path: str, write_fn) -> str:
     import uuid
 
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    write_fn(tmp)
     try:
-        os.rename(tmp, path)
-    except OSError:
-        # another writer won the race; ours is a redundant copy
+        write_fn(tmp)
+        last_err: OSError | None = None
+        for _ in range(3):
+            try:
+                os.rename(tmp, path)
+                return path
+            except OSError as e:
+                last_err = e
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # another writer won the race; ours is a
+                    # redundant bit-identical copy — cache hit
+                    return path
+                # target exists but is incomplete: orphaned partial
+                # dir — replace it (atomic-rename writers only ever
+                # publish complete dirs, so nothing live is lost)
+                shutil.rmtree(path, ignore_errors=True)
+        assert last_err is not None
+        raise last_err
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return path
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:

@@ -33,7 +33,12 @@ ARE bit-identical (one IEEE division of exact integers), so a
 boundary flip needs the true value within ~1 ulp of an integer
 micro-unit (~1e-9 probability per distinct term — and a flip
 shifts a score by 1 micro-unit, which changes the emitted ranking
-only on a near-exact tie). See SURVEY.md §7 oracle-parity rules.
+only on a near-exact tie). tests/test_operators.py::
+test_bm25_idf_no_boundary_sitting_terms enforces this empirically:
+every distinct df at the tested SF must keep >1e-6 distance from a
+micro-unit boundary (>100x the worst cross-engine ln disagreement),
+so a boundary-sitting term fails loudly there instead of as an
+opaque parity hash mismatch. See SURVEY.md §7 oracle-parity rules.
 """
 
 from __future__ import annotations

@@ -8,8 +8,6 @@ use explicit schemas — no inference at scale.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from infofarmsparkml_spark.operators._util import (

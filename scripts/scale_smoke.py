@@ -44,6 +44,13 @@ COPIES = 10
 OPS = [
     "llm_minhash_lsh_dedup",
     "llm_knn_join",
+    # round-9 additions (VERDICT r8 #7): the last unsmoked heavy
+    # ops — SRP-cluster diversity sampling, embedding near-dup,
+    # and the multi-stage curation pipeline run with the LSH
+    # cohort up front (same JVM-freshness sensitivity)
+    "llm_semantic_dedup",
+    "llm_diversity_sample",
+    "llm_curation_pipeline",
     "ts_gap_fill_locf",
     "ts_interpolate_linear",
     "graph_pagerank",
@@ -56,6 +63,7 @@ OPS = [
     "llm_bm25_topk",
     "llm_dup_substring",
     "graph_cc_star",
+    "graph_label_propagation",
     "join_runtime_bloom",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]

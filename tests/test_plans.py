@@ -892,5 +892,8 @@ def test_diversity_sample_plan_one_scan_one_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
-    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
-    assert keys == {"cluster"}, keys
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    # exactly ONE shuffle total — not merely "all shuffles are on
+    # cluster": a second cluster-keyed exchange (windows failing to
+    # share the partitioning) would pass the set form of this check
+    assert keys == ["cluster"], keys

@@ -1,0 +1,128 @@
+"""Filesystem-level tests for operators/_util.py caching helpers.
+
+Covers the ``materialize_once`` hazards flagged in ADVICE r7/r8:
+a crash-orphaned partial dir (exists, no _SUCCESS) must be replaced
+— not served — and the writer's temp dir must never leak, including
+when ``write_fn`` itself raises. Pure-filesystem tests: write_fn
+stands in for a Spark sink by creating a dir with part files and a
+_SUCCESS marker.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from infofarmsparkml_spark.operators._util import materialize_once
+
+
+def _fake_sink(content: str):
+    """A write_fn that mimics a Spark parquet sink's layout."""
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-00000"), "w") as f:
+            f.write(content)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return write
+
+
+def _read(path: str) -> str:
+    with open(os.path.join(path, "part-00000")) as f:
+        return f.read()
+
+
+def test_materialize_once_writes_then_caches(tmp_path):
+    path = str(tmp_path / "cache")
+    calls = []
+
+    def write(tmp):
+        calls.append(tmp)
+        _fake_sink("v1")(tmp)
+
+    assert materialize_once(path, write) == path
+    assert _read(path) == "v1"
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # second call: _SUCCESS short-circuits, write_fn not invoked
+    materialize_once(path, write)
+    assert len(calls) == 1
+    # no leaked temp siblings
+    assert os.listdir(tmp_path) == ["cache"]
+
+
+def test_materialize_once_replaces_orphaned_partial_dir(tmp_path):
+    """A dir at ``path`` WITHOUT _SUCCESS is a crashed writer's
+    partial output: it must be replaced by the fresh write, never
+    returned as-is (the pre-fix code treated any rename failure as
+    a lost race and served the partial dir)."""
+    path = str(tmp_path / "cache")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000"), "w") as f:
+        f.write("PARTIAL")  # no _SUCCESS alongside
+
+    assert materialize_once(path, _fake_sink("fresh")) == path
+    assert _read(path) == "fresh"
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.listdir(tmp_path) == ["cache"]
+
+
+def test_materialize_once_lost_race_is_cache_hit(tmp_path):
+    """If a concurrent writer publishes a complete dir between our
+    write and our rename, the rename failure is a cache hit: the
+    winner's content is served and our temp copy is removed."""
+    path = str(tmp_path / "cache")
+
+    def write(tmp):
+        # simulate the interleaving: the rival completes first
+        _fake_sink("winner")(path)
+        _fake_sink("loser")(tmp)
+
+    assert materialize_once(path, write) == path
+    assert _read(path) == "winner"
+    assert os.listdir(tmp_path) == ["cache"]  # loser tmp cleaned
+
+
+def test_materialize_once_cleans_tmp_on_write_failure(tmp_path):
+    """write_fn raising must not leak its temp dir or publish
+    anything at ``path``."""
+    path = str(tmp_path / "cache")
+
+    def write(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-00000"), "w") as f:
+            f.write("junk")
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        materialize_once(path, write)
+    assert not os.path.exists(path)
+    assert os.listdir(tmp_path) == []  # tmp removed
+
+
+def test_materialize_once_persistent_partial_raises(tmp_path):
+    """If the target keeps reappearing as a partial dir (pathological
+    filesystem state), the last OSError propagates instead of the
+    partial dir being silently served."""
+    path = str(tmp_path / "cache")
+
+    real_rename = os.rename
+
+    def hostile_rename(src, dst, *a, **k):
+        if dst == path:
+            # someone keeps recreating a partial dir at the target
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "part-00000"), "w") as f:
+                f.write("PARTIAL")
+            raise OSError(39, "Directory not empty")
+        return real_rename(src, dst, *a, **k)
+
+    os.rename = hostile_rename
+    try:
+        with pytest.raises(OSError):
+            materialize_once(path, _fake_sink("v1"))
+    finally:
+        os.rename = real_rename
+    # our tmp never leaks even on the failure path
+    assert [e for e in os.listdir(tmp_path) if ".tmp-" in e] == []
