@@ -61,3 +61,31 @@ def test_doc_counts_match_registry():
     examples = read("EXAMPLES.md")
     m = re.search(r"what else exists \((\d+) queries\)", examples)
     assert m and int(m.group(1)) == nq, m.groups()
+
+
+def test_priority_slate_invariants():
+    """Slate-shape guard for the driver's 50-query prefix (the
+    external harness checks exactly the first 50 of queries() in
+    iteration order): the 5 subsystem sentinels must stay at the
+    front, every _PRIORITY name must resolve to a registered query
+    (a typo would silently fall out of _ordered and shrink the
+    witnessed slate), and no name may repeat (a duplicate would
+    shift every later position by one)."""
+    prio = registry._PRIORITY
+    qs = registry.queries()
+    assert prio[:5] == [
+        "agg_groupby",
+        "win_frame_range",
+        "stream_tumbling",
+        "fn_json",
+        "join_asof",
+    ]
+    missing = [n for n in prio if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    dupes = [n for n in set(prio) if prio.count(n) > 1]
+    assert not dupes, f"_PRIORITY duplicates: {dupes}"
+    # the driver slate is a 50-prefix; the queue convention needs
+    # at least that many pinned names so the slate is deliberate,
+    # never backfilled by registration order
+    assert len(prio) >= 50
+    assert list(qs)[: len(prio)] == prio
