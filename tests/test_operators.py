@@ -406,6 +406,30 @@ def test_triangles_symmetric_check(spark, sf_dir):
         assert got.get(node, 0) == brute, f"node {node}"
 
 
+def test_triangles_doulion_unbiased_estimate(spark, sf_dir):
+    """DOULION twin (VERDICT r9 #6): the p=1/4 md5-sampled estimate
+    must land within 20% of the exact global count (measured error:
+    +5.9% at sf0.001, +1.3% at sf0.01 — the tolerance is 3x the
+    worst observed), and the sampled edge fraction must be near p
+    (md5 prefixes are uniform)."""
+    row = q("graph_triangles_doulion")(spark, sf_dir).collect()[0]
+    exact_rows = q("graph_triangles")(spark, sf_dir).collect()
+    exact_total = sum(r["n_triangles"] for r in exact_rows) // 3
+    assert exact_total > 0
+    est = row["est_triangles"]
+    assert row["n_tri_sampled"] * 64 == est
+    assert abs(est - exact_total) / exact_total < 0.20, (est, exact_total)
+    from infofarmsparkml_spark.operators.graph import _copurchase_edges
+
+    n_und = (
+        _copurchase_edges(spark, sf_dir)
+        .filter("src < dst")
+        .count()
+    )
+    frac = row["n_edges_sampled"] / n_und
+    assert 0.22 < frac < 0.28, frac
+
+
 def test_hll_sketch_union_tolerance(spark, sf_dir):
     rows = q("agg_hll_sketch_union")(spark, sf_dir).collect()
     lf = load_table(spark, sf_dir, "lineitem")
@@ -1194,7 +1218,11 @@ def test_dup_substring_skewed_hot_window_known_answer(spark, tmp_path):
     so this is a correctness-under-skew proof, not a smoke."""
     import pandas as pd
 
-    boiler = "B" * 40  # one 40-char window shared by every doc
+    # track the operator's geometry by construction (ADVICE r9):
+    # a retune of _WIN/_STRIDE retunes the replay with it
+    from infofarmsparkml_spark.operators.retrieval import _STRIDE, _WIN
+
+    boiler = "B" * _WIN  # one full window shared by every doc
     docs = []
     for i in range(800):
         # the tail is the doc id repeated: every 40-char window over
@@ -1208,7 +1236,7 @@ def test_dup_substring_skewed_hot_window_known_answer(spark, tmp_path):
     # pure-Python replay of the operator's window semantics
     from collections import Counter, defaultdict
 
-    W, S = 40, 10
+    W, S = _WIN, _STRIDE
     per_doc_wins: dict[int, Counter] = {}
     holders: defaultdict[str, set] = defaultdict(set)
     for doc_id, text in docs:

@@ -65,7 +65,8 @@ def test_materialize_once_replaces_orphaned_partial_dir(tmp_path):
     assert materialize_once(path, _fake_sink("fresh")) == path
     assert _read(path) == "fresh"
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
-    assert os.listdir(tmp_path) == ["cache"]
+    # the contended path leaves the flock file behind by design
+    assert sorted(os.listdir(tmp_path)) == ["cache", "cache.lock"]
 
 
 def test_materialize_once_lost_race_is_cache_hit(tmp_path):
@@ -81,7 +82,8 @@ def test_materialize_once_lost_race_is_cache_hit(tmp_path):
 
     assert materialize_once(path, write) == path
     assert _read(path) == "winner"
-    assert os.listdir(tmp_path) == ["cache"]  # loser tmp cleaned
+    # loser tmp cleaned; the contended path leaves the flock file
+    assert sorted(os.listdir(tmp_path)) == ["cache", "cache.lock"]
 
 
 def test_materialize_once_cleans_tmp_on_write_failure(tmp_path):
@@ -99,6 +101,46 @@ def test_materialize_once_cleans_tmp_on_write_failure(tmp_path):
         materialize_once(path, write)
     assert not os.path.exists(path)
     assert os.listdir(tmp_path) == []  # tmp removed
+
+
+def test_materialize_once_rmtree_only_under_lock(tmp_path):
+    """The TOCTOU fix (ADVICE r9): any rmtree of the TARGET dir must
+    happen while holding the exclusive flock — otherwise a rival
+    publishing a complete dir between the _SUCCESS check and the
+    rmtree gets its valid cache briefly unpublished. Recorded by
+    interleaving-order instrumentation on flock and rmtree."""
+    import shutil
+
+    import infofarmsparkml_spark.operators._util as util
+
+    path = str(tmp_path / "cache")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000"), "w") as f:
+        f.write("PARTIAL")  # orphaned partial: forces the rmtree path
+
+    events = []
+    import fcntl
+
+    real_flock, real_rmtree = fcntl.flock, shutil.rmtree
+
+    def spy_flock(fd, op):
+        if op == fcntl.LOCK_EX:
+            events.append("lock")
+        return real_flock(fd, op)
+
+    def spy_rmtree(p, *a, **k):
+        if str(p) == path:
+            events.append("rmtree_target")
+        return real_rmtree(p, *a, **k)
+
+    fcntl.flock, shutil.rmtree = spy_flock, spy_rmtree
+    try:
+        assert util.materialize_once(path, _fake_sink("fresh")) == path
+    finally:
+        fcntl.flock, shutil.rmtree = real_flock, real_rmtree
+    assert "rmtree_target" in events
+    assert events.index("lock") < events.index("rmtree_target")
+    assert _read(path) == "fresh"
 
 
 def test_materialize_once_persistent_partial_raises(tmp_path):
