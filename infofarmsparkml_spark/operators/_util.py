@@ -107,6 +107,12 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
             ):
                 import shutil
 
+                # NOTE: this also matches materialize_once's
+                # "<dir>.lock" flock FILES — harmless by contract:
+                # rmtree refuses plain files (listdir fails,
+                # ignore_errors swallows it), so a held lock is
+                # never unlinked out from under a locker
+                # (test_util.py pins rmtree's no-op-on-file).
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     except OSError:
         pass  # GC is best-effort; a failed prune only costs disk

@@ -148,7 +148,13 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE re-planning, and incremental re-runs (a row's membership
     never changes), unlike `.sample(seed=)` whose output depends on
     the physical partition layout. Pure codegen filter on the scan
-    (md5 + substr + string compare), no shuffle, no UDF."""
+    (md5 + substr + string compare), no shuffle, no UDF.
+
+    Dialect hazard (documented, not hit — lineitem keys are NOT
+    NULL): on a NULL key component Spark's concat_ws SKIPS the null
+    (and its separator) while DuckDB's ``||`` yields NULL, so the
+    two engines would hash different strings; nullable keys need
+    an explicit COALESCE on both sides before the hash."""
     lf = load_table(spark, sf_dir, "lineitem")
     key = F.concat_ws("|", "l_orderkey", "l_linenumber")
     return lf.filter(

@@ -65,6 +65,13 @@ OPS = [
     "graph_cc_star",
     "graph_label_propagation",
     "join_runtime_bloom",
+    # round-10 additions (VERDICT r9 #6): the DOULION sparsified
+    # triangle estimate — smoked against exact graph_triangles to
+    # evidence the p^2 path-volume reduction at 10x data — and the
+    # md5-threshold sample (pure scan filter; the trivial-linearity
+    # control alongside agg_groupby)
+    "graph_triangles_doulion",
+    "sample_hash_deterministic",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]
 

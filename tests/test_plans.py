@@ -83,6 +83,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_hash_sample_is_pure_scan_filter(spark, sf_dir):
+    """sample_hash_deterministic must stay a codegen filter ON the
+    scan: zero exchanges, one parquet scan, 3-column ReadSchema —
+    the md5-threshold sample adds no shuffle at any scale."""
+    plan = explain_str(q("sample_hash_deterministic")(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1  # matches FileScan too
+    assert "md5" in plan and "Filter" in plan, plan[:2000]
+
+
+def test_triangles_doulion_no_cartesian_hash_probed(spark, sf_dir):
+    """The sparsified path join must keep the exact operator's
+    posture: hash-probed edge joins (no sort-merge of the path
+    stream), no cartesian product anywhere except the final
+    broadcast of the two 1-row scalar frames."""
+    plan = explain_str(q("graph_triangles_doulion")(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
+
+
 def test_sessionize_single_user_shuffle(spark, sf_dir):
     df = q("win_sessionize")(spark, sf_dir)
     plan = explain_str(df, "simple")
@@ -505,6 +525,7 @@ def test_checkpointed_ops_do_not_rescan(spark, sf_dir):
         "llm_ngram_containment": 1,   # grams + rare checkpointed
         "etl_cdc_apply": 1,           # fixture changelog checkpointed
         "graph_triangles": 2,         # und + fwd checkpointed
+        "graph_triangles_doulion": 0,  # sampled und + fwd checkpointed
         "dq_referential_integrity": 5,  # 5 tables, each scanned once
         # edges + every per-round survivor frame checkpointed: the
         # final 6-way union must read RDD scans, never re-derive the

@@ -168,3 +168,79 @@ def test_materialize_once_persistent_partial_raises(tmp_path):
         os.rename = real_rename
     # our tmp never leaks even on the failure path
     assert [e for e in os.listdir(tmp_path) if ".tmp-" in e] == []
+
+
+def test_materialize_once_multiprocess_stress(tmp_path):
+    """True cross-process race (the unit tests above simulate
+    interleavings in-process): 8 writers hammer the same path
+    concurrently — starting from a planted orphaned-partial dir so
+    the contended flock path is actually exercised — while a reader
+    continuously asserts the publish invariant: whenever _SUCCESS
+    exists, the part file is present and complete. Pre-fix code
+    could briefly unpublish a complete dir (ADVICE r9 TOCTOU); the
+    reader would catch that as a missing/partial part file."""
+    import multiprocessing as mp
+    import time
+
+    path = str(tmp_path / "cache")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000"), "w") as f:
+        f.write("PARTIAL")  # no _SUCCESS: every writer sees an orphan
+
+    payload = "x" * 4096
+
+    def writer(barrier, errs):
+        try:
+            barrier.wait(timeout=30)
+            got = materialize_once(path, _fake_sink(payload))
+            with open(os.path.join(got, "part-00000")) as f:
+                assert f.read() == payload
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.put(repr(e))
+
+    def reader(stop, errs):
+        try:
+            while not stop.is_set():
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # published ⇒ content must be complete, always
+                    with open(os.path.join(path, "part-00000")) as f:
+                        assert f.read() == payload
+                time.sleep(0.001)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.put("reader: " + repr(e))
+
+    ctx = mp.get_context("fork")
+    errs = ctx.Queue()
+    barrier = ctx.Barrier(8)
+    stop = ctx.Event()
+    ws = [ctx.Process(target=writer, args=(barrier, errs)) for _ in range(8)]
+    rd = ctx.Process(target=reader, args=(stop, errs))
+    rd.start()
+    for w in ws:
+        w.start()
+    for w in ws:
+        w.join(timeout=60)
+    stop.set()
+    rd.join(timeout=10)
+    failures = []
+    while not errs.empty():
+        failures.append(errs.get())
+    assert not failures, failures
+    with open(os.path.join(path, "part-00000")) as f:
+        assert f.read() == payload
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_scratch_gc_cannot_unlink_lock_files(tmp_path):
+    """scratch_dir's sibling GC rmtree's anything matching the
+    ``{tag}_{suffix}_`` prefix — including materialize_once's
+    ``<dir>.lock`` flock FILES of other generations. That must stay
+    a no-op: shutil.rmtree refuses plain files, so a lock held by a
+    live process is never unlinked (unlinking would let two lockers
+    hold "the same" lock via different inodes)."""
+    import shutil
+
+    lock = tmp_path / "edges_sf0.1_deadbeef00.lock"
+    lock.write_text("")
+    shutil.rmtree(str(lock), ignore_errors=True)
+    assert lock.exists()
