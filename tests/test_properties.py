@@ -352,3 +352,65 @@ def test_srp_plane_pool_prefix_is_r5_stable():
         json.dumps(_SRP_W[:32]).encode()
     ).hexdigest()
     assert digest == "bdf31b67cbbecc4b1a267f36f1ce16a8"
+
+
+def test_hash_sample_membership_partition_invariant(spark, sf_dir):
+    """The md5-threshold sample's core claim (round 10): membership
+    is a property of the ROW, so the selected key set is identical
+    under any physical partitioning — unlike .sample(seed=), whose
+    draw depends on partition layout. Verified against 1, 7, and 32
+    partitions of the same source."""
+    from infofarmsparkml_spark.registry import get
+
+    fn, _ = get("sample_hash_deterministic")
+    base = fn(spark, sf_dir)
+
+    def keys(df):
+        return {
+            (r["l_orderkey"], r["l_linenumber"]) for r in df.collect()
+        }
+
+    expected = keys(base)
+    assert expected  # non-degenerate sample at every fixture SF
+    from infofarmsparkml_spark.operators._util import load_table
+
+    lf = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F2
+
+    for n in (1, 7, 32):
+        got = keys(
+            lf.repartition(n)
+            .filter(
+                F2.substring(
+                    F2.md5(
+                        F2.concat_ws("|", "l_orderkey", "l_linenumber")
+                    ),
+                    1,
+                    8,
+                )
+                < F2.lit("1a000000")
+            )
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+        )
+        assert got == expected, f"membership drifted at {n} partitions"
+
+
+def test_spark_rng_sample_is_partition_sensitive_demo(spark, sf_dir):
+    """The counter-property that motivates the hash twin: Spark's
+    seeded Bernoulli sample is documented here as partition-layout
+    DEPENDENT — the same seed over the same rows yields a different
+    subset when the partitioning differs. (If a future Spark makes
+    it layout-stable this starts failing and the twin's docstring
+    claim should be revisited.)"""
+    from infofarmsparkml_spark.operators._util import load_table
+
+    lf = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+    def keys(df):
+        return {(r["l_orderkey"], r["l_linenumber"]) for r in df.collect()}
+
+    a = keys(lf.repartition(1).sample(fraction=0.1, seed=42))
+    b = keys(lf.repartition(32).sample(fraction=0.1, seed=42))
+    assert a != b
