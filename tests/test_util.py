@@ -244,3 +244,39 @@ def test_scratch_gc_cannot_unlink_lock_files(tmp_path):
     lock.write_text("")
     shutil.rmtree(str(lock), ignore_errors=True)
     assert lock.exists()
+
+
+def test_rotate_slate_policy(tmp_path, monkeypatch):
+    """The slate helper's witness-history policy: rows-only records
+    (err='no_oracle' with a row count) are CLEAN runs, real errors
+    and hash mismatches are failures, and the latest round wins."""
+    import json
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    import rotate_slate
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    bad_hash = dict(ok, hash_match=False)
+    crashed = dict(rows_only, err="AnalysisException: boom", spark_rows=None)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"a": ok, "b": rows_only, "c": ok, "d": ok})
+    )
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"c": bad_hash, "d": crashed})
+    )
+    hist = rotate_slate.witness_history(str(tmp_path))
+    assert hist["a"] == (3, True)
+    assert hist["b"] == (3, True)   # rows-only ran clean
+    assert hist["c"] == (7, False)  # latest round wins; mismatch = fail
+    assert hist["d"] == (7, False)  # real error = fail
