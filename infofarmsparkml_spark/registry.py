@@ -58,61 +58,42 @@ def _load_all_operator_modules() -> None:
 # External correctness harnesses check a fixed-size (50) prefix of
 # the registry in iteration order. Slate hygiene (VERDICT r2-r5):
 # failed queries go first next round; after r9 every registered
-# query (270/270) has a driver row and 0 ever failed, so rotation
-# now targets WITNESS RECENCY. The round-10 slate (VERDICT r9 #1
-# ask) = the 5 proven-green SENTINELS (canaries for environment
-# drift like round 2's events.ts break — one per major subsystem:
-# agg/window/streaming/json/asof), then the rows-only tail whose
-# driver rows are stalest (the r3-era MLlib trainers + approx
-# sketches, mm_audio_features from r5, and the r8 rows-only
-# cohort pre-queued at 51+ last round), then the oldest (r1-era)
-# high-value re-witnesses: the dedup/ANN entry points, skew-salted
-# and core join strategies, and the heavy agg plans. Positions 51+
-# pre-queue round 11 (the remaining r1/r2-era re-witnesses:
-# filters, outer joins, set ops, windows, TPC-H q8/q18).
+# query has a driver row and 0 ever failed, so rotation targets
+# WITNESS RECENCY. The round-11 slate (VERDICT r10 #1 ask) = the 5
+# proven-green SENTINELS (canaries for environment drift like round
+# 2's events.ts break — one per major subsystem: agg/window/
+# streaming/json/asof), then the round-11 queue staged at 51+ last
+# round (the remaining r1/r2-era re-witnesses: filters, outer
+# joins, set ops, windows, TPC-H q8/q18, scan/DPP plans), topped up
+# with the next-stalest r2-era rows. Proposal computed mechanically
+# by scripts/rotate_slate.py from CORRECTNESS_r*.json history.
+# Positions 51+ pre-queue round 12 (r2-era functions/windows tail).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r9; re-run each round)
+    # sentinels (driver-PASS every round r1-r10; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # new in round 10 (never driver-witnessed): the approx-at-scale
-    # twins — both SQL-oracled via deterministic md5 sampling
-    "sample_hash_deterministic", "graph_triangles_doulion",
-    # r3-era rows-only tail (driver rows 7 rounds old; pytest-green
-    # throughout — this re-runs them under the driver's rows-only
-    # check on current code)
-    "agg_approx_distinct", "agg_percentile_approx",
-    "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
-    "ml_decision_tree", "ml_random_forest", "ml_naive_bayes",
-    "ml_fpgrowth", "ml_word2vec", "ml_crossval",
-    # r5-era rows-only straggler
-    "mm_audio_features",
-    # r8 rows-only cohort + re-witnesses (pre-queued at 51+ in r9)
-    "ts_outlier_mad", "stream_stream_fullouter",
-    "stream_stateful_tws", "llm_knn_join_exact",
-    "agg_hll_sketch_union", "llm_ivf_topk", "llm_stratified_sample",
-    "llm_curation_pipeline", "ml_gbt", "ml_svm_linear",
-    "ml_cluster_gmm", "ml_cluster_bisecting", "ml_topic_lda",
-    "ml_isotonic", "ml_pipeline_save_load", "ml_eval_trained",
-    "sample_tablesample", "fn_hash_spark", "fn_aes_roundtrip",
-    # oldest (r1) high-value re-witnesses: dedup/ANN entry points,
-    # join strategies incl. the salted-skew plan, heavy agg shapes
-    "llm_exact_dedup", "llm_dedup_components", "llm_cosine_topk",
-    "join_skew_salted", "join_inner_hash", "join_broadcast",
-    "join_sortmerge", "join_range_interval",
-    "agg_hash_global", "agg_percentile", "agg_grouping_sets",
-    "agg_histogram",
-    # ---- position 51+: round-11 queue (not in this round's slate) --
-    # remaining r1/r2-era re-witnesses, oldest first
-    "graph_degree", "dq_profile",
-    "join_outer_left", "join_outer_right", "join_outer_full",
-    "join_semi", "join_anti", "join_theta", "join_multikey_selfjoin",
-    "filter_conj", "filter_like", "filter_between_in", "case_when",
-    "project_arith", "agg_stats", "agg_having", "agg_corr_pairs",
-    "agg_approx_top_k", "agg_unpivot", "dq_skew_report",
-    "set_union_distinct", "set_intersect", "set_except",
-    "distinct_rows", "win_ranking", "win_analytic", "win_frame_rows",
-    "tpch_q18", "tpch_q8", "udf_scalar_arrow", "udaf_grouped_agg",
-    "scan_partition_pruned", "join_dpp", "sql_correlated_scalar",
+    # slate (stalest-witness-first: r1-era, then r2-era)
+    "graph_degree", "dq_profile", "join_outer_left", "join_outer_right",
+    "join_outer_full", "join_semi", "join_anti", "join_theta",
+    "join_multikey_selfjoin", "filter_conj", "filter_like",
+    "filter_between_in", "case_when", "project_arith", "agg_stats",
+    "agg_having", "agg_corr_pairs", "agg_approx_top_k", "agg_unpivot",
+    "dq_skew_report", "agg_distinct", "agg_rollup", "agg_conditional",
+    "agg_bool", "agg_string_agg", "filter_null", "join_cross",
+    "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
+    "win_ranking", "win_analytic", "win_frame_rows", "tpch_q18", "tpch_q8",
+    "udf_scalar_arrow", "udaf_grouped_agg", "scan_partition_pruned",
+    "join_dpp", "sql_correlated_scalar", "agg_collect", "llm_text_stats",
+    "llm_lang_id", "llm_fingerprint",
+    # ---- position 51+: round-12 queue (not in this round's slate) --
+    "llm_simhash", "ml_tokenize_tf", "scan_projected", "limit_topk",
+    "sql_recursive_cte", "udtf_grouped_map", "udtf_python",
+    "win_topk_per_group", "win_percent", "fn_array", "fn_explode", "fn_map",
+    "fn_struct", "fn_date", "fn_math", "fn_cast_null", "fn_string", "fn_hash",
+    "stream_join", "agg_stats_higher", "agg_pivot", "etl_scd2",
+    "llm_repetition_score", "llm_contamination", "llm_quota_sample",
+    "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
+    "ml_tfidf", "ml_ngram_stopwords", "ml_word_count", "ml_sentiment_lexicon",
 ]
 
 

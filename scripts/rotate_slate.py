@@ -77,7 +77,9 @@ def main() -> int:
     names = list(registry.queries())
     hist = witness_history(root)
 
-    failed = [n for n in names if n in hist and not hist[n][1]]
+    failed = [
+        n for n in names if n in hist and not hist[n][1] and n not in SENTINELS
+    ]
     never = [n for n in names if n not in hist and n not in SENTINELS]
     rest = [
         n
