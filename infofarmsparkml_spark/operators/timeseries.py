@@ -58,34 +58,48 @@ FROM joined
 def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify each user's hourly value series over its own
     [first, last] hour and fill silent hours by carrying the last
-    observed value forward. Spark side: ``last(v, ignorenulls)``
-    over one running frame — ONE exchange on user_id serves spine
-    join and fill. DuckDB lacks ignore-nulls there, so the oracle
-    uses the equivalent fill-group trick (a running count of
-    observed rows is constant across a run of missing hours, so
-    MAX per (user, count) group is the carried value)."""
+    observed value forward. Spark plan (r11, the r4
+    `ts_interpolate_linear` segment-explode treatment): ONE lead()
+    window over the OBSERVED hourly rows finds each observation's
+    successor, then every observation explodes directly into its own
+    gap hours [h, next_h) with the carried value already attached —
+    the dense spine is never joined, sorted, or windowed (the first
+    formulation left-joined a generated spine and ran
+    `last(ignorenulls)` over it: a spine-sized sort + running window
+    whose cost grows with series SPAN, not observation count; at
+    sf0.1 that was 7.9 s and a 4.9x smoke ratio at 10x data).
+    Semantics are identical by construction: within a fill run the
+    carried value IS the run-opening observation, and the series'
+    last observation emits only itself. DuckDB lacks ignore-nulls
+    running frames, so the oracle keeps the equivalent fill-group
+    trick (a running count of observed rows is constant across a run
+    of missing hours, so MAX per (user, count) group is the carried
+    value)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
+    w = W.partitionBy("user_id").orderBy("h")
+    seg = hourly.select(
+        "user_id", "h", "v", F.lead("h").over(w).alias("nh")
     )
-    spine = bounds.select(
+    # each observation emits [h, nh) hourly with its own v carried;
+    # the series' last observation emits only itself
+    hh = F.explode(
+        F.sequence(
+            F.col("h"),
+            F.coalesce(
+                F.col("nh") - F.expr("interval 1 hour"), F.col("h")
+            ),
+            F.expr("interval 1 hour"),
+        )
+    )
+    pts = seg.select("user_id", "h", "v", hh.alias("hh"))
+    return pts.select(
         "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("h"),
-    )
-    joined = spine.join(hourly, ["user_id", "h"], "left")
-    run = W.partitionBy("user_id").orderBy("h").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    return joined.select(
-        "user_id",
-        F.col("h").alias("hour"),
-        F.col("v").isNotNull().alias("observed"),
-        F.last("v", ignorenulls=True).over(run).alias("v_filled"),
+        F.col("hh").alias("hour"),
+        (F.col("hh") == F.col("h")).alias("observed"),
+        F.col("v").alias("v_filled"),
     )
 
 

@@ -495,6 +495,22 @@ def test_interpolate_windows_segments_not_spine(spark, sf_dir):
     assert gen < win, plan[:3000]
 
 
+def test_gap_fill_windows_segments_not_spine(spark, sf_dir):
+    """ts_gap_fill_locf (r11 segment-explode rewrite) must window
+    only the compact observed-hourly rows — one lead() window, no
+    spine join, and the explode generated AFTER the window so fill
+    cost scales with observations, not series span."""
+    plan = explain_str(q("ts_gap_fill_locf")(spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    lines = plan.splitlines()
+    gen = min(i for i, ln in enumerate(lines) if "Generate explode" in ln)
+    win = min(i for i, ln in enumerate(lines) if "Window" in ln)
+    # tree prints top-down: the explode (later in dataflow) must sit
+    # ABOVE the window, i.e. the window never sees exploded rows
+    assert gen < win, plan[:3000]
+
+
 def test_attribution_is_one_window_no_join(spark, sf_dir):
     """events_attribution must be join-free: one range-frame window
     over one user_id exchange — the purchase-to-touch pairing never
