@@ -1378,51 +1378,123 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "dup_of", F.round("cos", 6).alias("cosine"))
 
 
-@query("llm_ivf_topk")  # centroid training is seeded k-means: rows-only
+@query(
+    "llm_ivf_topk",
+    oracle="""
+WITH ranked_ctr AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings),
+ctr AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, cv
+        FROM ranked_ctr WHERE rn <= 16),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+adist AS (
+  SELECT em.vec_id, em.e, c.cell,
+         list_dot_product(em.e, em.e) - 2 * list_dot_product(em.e, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2
+  FROM emb em, ctr c),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arn
+    FROM adist) WHERE arn = 1),
+probe AS (
+  SELECT qid, qv, cell FROM (
+    SELECT vec_id AS qid, e AS qv, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prn
+    FROM adist WHERE vec_id < 5) WHERE prn <= 5),
+sims AS (
+  SELECT p.qid, a.vec_id AS cid,
+         list_dot_product(p.qv, a.e)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(a.e, a.e))) AS cos
+  FROM probe p JOIN assigned a USING (cell)
+  WHERE p.qid <> a.vec_id),
+ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM sims)
+SELECT qid, cid, ROUND(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+""",
+)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbor: k-means coarse
-    quantizer (8 cells, seed=42) partitions the corpus; each query
-    probes its nprobe=3 nearest cells and ranks exact cosine only
-    within them. At 100 TB the cell assignment is a partition key —
-    a probe touches nprobe/ncells of the data. Recall vs the exact
-    top-k is asserted in tests/test_operators.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF-style approximate nearest neighbor: a coarse quantizer
+    of 16 cells partitions the corpus; each query probes its
+    nprobe=5 nearest cells (5/16 of the data — finer than the old
+    8-cell/3-probe split at 3/8) and ranks exact cosine within them.
+    At 100 TB the cell assignment is a partition key — a probe
+    touches nprobe/ncells of the data. Recall vs the exact top-k is
+    asserted in tests/test_operators.py.
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    r11 (VERDICT r10 #5): the quantizer centers are the 16 corpus
+    vectors with the smallest md5(vec_id) — the same md5-coin
+    determinism that made L2/L5 SQL-hash-checkable — instead of the
+    earlier seeded MLlib k-means, whose centroids no SQL engine can
+    reproduce. Random corpus points are the classic cheap coarse
+    quantizer (k-means init IS random picks); what the demo keeps
+    is the IVF plan shape, now hash-checked end-to-end (random
+    centers are looser than trained ones, so cells went 8 -> 16 and
+    probes 3 -> 5 to hold recall >= 0.5 at a LOWER probed
+    fraction). Bit-parity
+    notes: d2 and cosine evaluate the same IEEE expression trees as
+    the DuckDB oracle (index-order dot-product folds, a - 2b + c
+    association), so cell assignment, probe order, and ranking all
+    agree exactly. Center pick is a distributed top-16
+    (TakeOrderedAndProject), and the 16 collected centers enter the
+    scan as literals: assignment and probing are pure map-side
+    projections — no shuffle until the per-qid top-k window over
+    the probed candidates."""
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    picks = (
+        emb.select(
+            F.md5(F.col("vec_id").cast("string")).alias("m"),
+            "vec_id",
+            F.col("e").alias("cv"),
+        )
+        .orderBy("m", "vec_id")
+        .limit(16)
+        .collect()
+    )
+    centers = [
+        F.array(*[F.lit(float(x)) for x in r["cv"]])
+        for r in sorted(picks, key=lambda r: (r["m"], r["vec_id"]))
+    ]
+
+    def d2(vec, cv):
+        # same association as the oracle: (dot(v,v) - 2*dot(v,c)) + dot(c,c)
+        return _dot(vec, vec) - F.lit(2.0) * _dot(vec, cv) + _dot(cv, cv)
+
+    cells = F.array(
+        *[
+            F.struct(
+                d2(F.col("e"), cv).alias("d2"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, cv in enumerate(centers)
+        ]
+    )
+    assigned = emb.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+        "e",
+        F.array_min(cells)["cell"].alias("cell"),
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("cnorm"),
     )
-    km = KMeans(featuresCol="fv", k=8, seed=42, maxIter=20).fit(emb)
-    assigned = km.transform(emb).select(
-        "vec_id", "e", F.col("prediction").alias("cell")
+    probed = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qv"),
+            F.sqrt(_dot(F.col("e"), F.col("e"))).alias("qnorm"),
+            F.explode(F.slice(F.array_sort(cells), 1, 5)).alias("pc"),
+        )
+        .select("qid", "qv", "qnorm", F.col("pc")["cell"].alias("cell"))
     )
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        ["cell", "center"],
+    cand = assigned.join(F.broadcast(probed), "cell").filter(
+        F.col("qid") != F.col("vec_id")
     )
-    queries = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qv")
-    )
-    # probe the 3 closest cells per query (squared L2 to centroid)
-    qc = queries.crossJoin(F.broadcast(centers)).withColumn(
-        "d2",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    wq = W.partitionBy("qid").orderBy(F.col("d2"), F.col("cell"))
-    probed = qc.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= 3
-    ).select("qid", "qv", "cell")
-    cand = probed.join(assigned, "cell").filter(F.col("qid") != F.col("vec_id"))
-    cos = _dot(F.col("qv"), F.col("e")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
+    cos = _dot(F.col("qv"), F.col("e")) / (F.col("qnorm") * F.col("cnorm"))
     wk = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         cand.withColumn("cos", cos)
