@@ -599,9 +599,9 @@ def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-keyed join on the node key — the same shuffle shape as
     min-label, just fewer rounds.
 
-    Convergence check per round is one count over the distinct
-    union of successive canonical edge sets (equal iff both counts
-    match the union's) — exact, no checksum heuristic. The fixture's
+    Convergence check per round is a single isEmpty action on the
+    symmetric difference of successive canonical edge sets — exact
+    set equality, no checksum heuristic. The fixture's
     dup clusters are tiny, so both algorithms take 2 rounds there;
     the separation shows on the worst case: a 64-node chain
     converges in 7 star rounds (unit-tested) where min-label needs
@@ -670,9 +670,13 @@ def _star_contract(sym: DataFrame) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_prev, n_cur = prev.count(), cur.count()
-        n_union = prev.union(cur).distinct().count()
-        converged = n_prev == n_cur == n_union
+        # set equality in ONE action (VERDICT r10 #6: was three —
+        # two counts + a union-distinct count): both sides are
+        # already distinct, so prev == cur iff the symmetric
+        # difference is empty; isEmpty short-circuits at one row
+        converged = (
+            prev.subtract(cur).union(cur.subtract(prev)).isEmpty()
+        )
         prev = cur
         if converged:
             break
@@ -745,8 +749,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors carry ``removed_round = 0`` meaning "not peeled
     within 5 rounds", NOT "member of the exact k-core" — a node the
     full fixpoint would peel in round 6+ is reported as core here;
-    callers needing exact coreness numbers must run the peel to
-    convergence instead of this bounded variant.
+    callers needing exact coreness use `graph_kcore_exact`, the
+    fixpoint twin (same peel core, convergence-guarded).
 
     Scale: edges are hash-partitioned on src before their ONE
     checkpoint (the `graph_pagerank` discipline); per round the
@@ -760,14 +764,36 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("src"))
         .localCheckpoint()
     )
-    kdf = edges.agg(
+    return _kcore_peel(edges, _kcore_threshold(edges), n_rounds=5)
+
+
+def _kcore_threshold(edges: DataFrame) -> DataFrame:
+    """1-row (k) frame: k = (3E)//(4V), exact integer division on
+    the directed edge/vertex counts of a symmetric edge list."""
+    return edges.agg(
         F.count(F.lit(1)).alias("e"), F.countDistinct("src").alias("v")
     ).select(F.expr("(3 * e) div (4 * v)").alias("k"))
+
+
+def _kcore_peel(
+    edges: DataFrame, kdf: DataFrame, n_rounds: int | None
+) -> DataFrame:
+    """Synchronized k-core peel over a checkpointed SYMMETRIC edge
+    list: each round recomputes surviving-subgraph degrees and
+    removes nodes below k. Returns (part, removed_round) with
+    removed_round = the peel round (1-based) or 0 for survivors.
+    ``n_rounds`` bounds the peel (the SQL-oracle-checkable bounded
+    contract); ``None`` runs to FIXPOINT with one isEmpty
+    convergence action per round (stops the first round nobody
+    falls below k — survivors then ARE the exact k-core) and a
+    64-round safety guard far above any observed depth."""
     alive = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     peeled: DataFrame | None = None
-    for r in range(1, 6):
+    r = 0
+    while True:
+        r += 1
         deg = (
             edges.join(alive.withColumnRenamed("node", "src"), "src")
             .join(alive.withColumnRenamed("node", "dst"), "dst")
@@ -784,9 +810,43 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv.filter(F.col("c") < F.col("k"))
             .select("node", F.lit(r).cast("int").alias("removed_round"))
         )
+        if n_rounds is None:
+            if doomed.isEmpty():
+                break
+            if r > 64:
+                raise RuntimeError("k-core peel did not converge in 64 rounds")
         peeled = doomed if peeled is None else peeled.unionByName(doomed)
         alive = surv.filter(F.col("c") >= F.col("k")).select("node")
-    assert peeled is not None
-    return peeled.unionByName(
-        alive.select("node", F.lit(0).cast("int").alias("removed_round"))
-    ).select(F.col("node").alias("part"), "removed_round")
+        if n_rounds is not None and r >= n_rounds:
+            break
+    core = alive.select(
+        "node", F.lit(0).cast("int").alias("removed_round")
+    )
+    out = core if peeled is None else peeled.unionByName(core)
+    return out.select(F.col("node").alias("part"), "removed_round")
+
+
+@query("graph_kcore_exact", oracle=_kcore_oracle(12))
+def graph_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of `graph_kcore` (VERDICT r10 #7, the
+    triangles/doulion pattern: exact + bounded, both oracled):
+    peels to FIXPOINT, so ``removed_round = 0`` really means
+    "member of the k-core" — not `graph_kcore`'s weaker "not
+    peeled within 5 rounds". Convergence costs ONE isEmpty action
+    per round on the doomed split the round computes anyway.
+
+    Oracle parity contract: the DuckDB twin is the same peel
+    round-unrolled 12 deep — empty late rounds contribute nothing,
+    so the unroll only needs to COVER the fixpoint depth, which
+    measures 3/8/8 rounds at sf0.001/0.01/0.1 (the peel depth of a
+    degree-threshold cascade grows with graph diameter, not size;
+    tests pin depth <= 12 so parity breakage surfaces as a loud
+    assert, not a hash mismatch). Per-round cost is identical to
+    `graph_kcore`: two alive-restriction joins + one degree
+    aggregate on the node key, checkpointed once per round."""
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    return _kcore_peel(edges, _kcore_threshold(edges), n_rounds=None)

@@ -495,6 +495,18 @@ def test_interpolate_windows_segments_not_spine(spark, sf_dir):
     assert gen < win, plan[:3000]
 
 
+def test_tpch_scalar_crossjoins_broadcast(spark, sf_dir):
+    """tpch_q11/q22's 1-row scalar-aggregate crossJoins carry an
+    explicit F.broadcast hint (VERDICT r10 #6 asked for symmetry
+    with etl.py's same pattern — the hint predates the ask; this
+    pins it): the physical plan must show exactly one
+    BroadcastNestedLoopJoin and no other nested-loop join."""
+    for name in ("tpch_q11", "tpch_q22"):
+        plan = explain_str(q(name)(spark, sf_dir), "simple")
+        assert plan.count("BroadcastNestedLoopJoin") == 1, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+
+
 def test_gap_fill_windows_segments_not_spine(spark, sf_dir):
     """ts_gap_fill_locf (r11 segment-explode rewrite) must window
     only the compact observed-hourly rows — one lead() window, no
