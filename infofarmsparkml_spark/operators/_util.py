@@ -100,20 +100,27 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
     prefix = f"{tag}_{suffix}_"
     try:
         for entry in os.listdir(base):
-            if (
-                entry.startswith(prefix)
-                and entry != current
-                and not entry.startswith(current + ".tmp-")
-            ):
+            if entry.startswith(prefix) and not entry.startswith(current):
                 import shutil
 
-                # NOTE: this also matches materialize_once's
-                # "<dir>.lock" flock FILES — harmless by contract:
-                # rmtree refuses plain files (listdir fails,
-                # ignore_errors swallows it), so a held lock is
-                # never unlinked out from under a locker
-                # (test_util.py pins rmtree's no-op-on-file).
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                p = os.path.join(base, entry)
+                if os.path.isfile(p):
+                    # stale generation's "<dir>.lock" flock file
+                    # (ADVICE r10): rmtree refuses plain files, so
+                    # these used to leak forever. Unlinking is safe
+                    # for DEAD generations only — everything owned
+                    # by the current generation (the dir itself and
+                    # its .lock/.tmp-*/.orphan-* siblings) is
+                    # excluded by the startswith(current) guard, so
+                    # the unlink-vs-lock race cannot reopen; stale
+                    # generations are dead by the same GC contract
+                    # that lets their dirs be pruned.
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass  # GC is best-effort; a failed prune only costs disk
     return os.path.join(base, current)
@@ -137,15 +144,23 @@ def materialize_once(path: str, write_fn) -> str:
     writer won the race (cache hit); ``path`` existing WITHOUT
     _SUCCESS is a crash-orphaned partial dir (e.g. a pre-rename-era
     writer killed mid-write) that no correct reader can want — it is
-    removed and the rename retried, instead of being served as if
-    valid. The check-then-rmtree step is serialized across
-    processes with an fcntl.flock lock file next to ``path``
-    (ADVICE r9): without it, a concurrent writer could publish a
-    complete dir between this writer's _SUCCESS check and its
-    rmtree, briefly unpublishing a valid cache. Writers only ever
-    publish (rename) either on the lock-free FIRST attempt — which
-    cannot delete anything — or while holding the lock, so the
-    locked _SUCCESS re-check is authoritative. The retry is
+    renamed ASIDE (the aside copy then rmtree'd) and the publish
+    retried, instead of being served as if valid. The
+    check-then-replace step is serialized across processes with an
+    fcntl.flock lock file next to ``path`` (ADVICE r9): without it,
+    a concurrent writer could publish a complete dir between this
+    writer's _SUCCESS check and its destructive step, briefly
+    unpublishing a valid cache. The rename-aside (ADVICE r10)
+    closes the residual window rmtree-in-place left for EMPTY
+    orphans: POSIX rename succeeds onto an existing empty dir, so a
+    rival's lock-free optimistic publish can land between the
+    locked _SUCCESS check and the destructive step — renaming aside
+    never deletes the rival's part files out from under a reader
+    (worst case the bit-identical republish restores ``path`` one
+    atomic step later), whereas an in-place rmtree could. Writers
+    only ever publish (rename) either on the lock-free FIRST
+    attempt — which cannot delete anything — or while holding the
+    lock, so the locked _SUCCESS re-check is authoritative. The retry is
     bounded; if the target keeps reappearing as a partial dir the
     last OSError propagates rather than silently returning an
     incomplete cache. The temp dir is always cleaned up, including
@@ -179,9 +194,18 @@ def materialize_once(path: str, write_fn) -> str:
                     # redundant bit-identical copy — cache hit
                     return path
                 # target exists but is incomplete: orphaned partial
-                # dir — replace it (atomic-rename writers only ever
-                # publish complete dirs, so nothing live is lost)
-                shutil.rmtree(path, ignore_errors=True)
+                # dir — rename it aside, never rmtree in place (a
+                # rival's optimistic rename can succeed onto an
+                # EMPTY orphan after the check above; renames can't
+                # destroy such a publish, an in-place rmtree could)
+                if os.path.lexists(path):
+                    aside = f"{path}.orphan-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(path, aside)
+                    except OSError:
+                        pass  # vanished underneath us; just retry
+                    else:
+                        shutil.rmtree(aside, ignore_errors=True)
                 try:
                     os.rename(tmp, path)
                     return path

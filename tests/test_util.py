@@ -103,12 +103,14 @@ def test_materialize_once_cleans_tmp_on_write_failure(tmp_path):
     assert os.listdir(tmp_path) == []  # tmp removed
 
 
-def test_materialize_once_rmtree_only_under_lock(tmp_path):
-    """The TOCTOU fix (ADVICE r9): any rmtree of the TARGET dir must
-    happen while holding the exclusive flock — otherwise a rival
-    publishing a complete dir between the _SUCCESS check and the
-    rmtree gets its valid cache briefly unpublished. Recorded by
-    interleaving-order instrumentation on flock and rmtree."""
+def test_materialize_once_orphan_renamed_aside_under_lock(tmp_path):
+    """The TOCTOU fixes (ADVICE r9 + r10): an orphaned partial
+    TARGET dir is never rmtree'd in place — it is renamed aside
+    (renames cannot destroy a rival's just-published part files the
+    way an in-place rmtree could, since POSIX rename succeeds onto
+    an empty orphan) — and that rename-aside happens only while
+    holding the exclusive flock. Recorded by interleaving-order
+    instrumentation on flock, rename, and rmtree."""
     import shutil
 
     import infofarmsparkml_spark.operators._util as util
@@ -116,31 +118,41 @@ def test_materialize_once_rmtree_only_under_lock(tmp_path):
     path = str(tmp_path / "cache")
     os.makedirs(path)
     with open(os.path.join(path, "part-00000"), "w") as f:
-        f.write("PARTIAL")  # orphaned partial: forces the rmtree path
+        f.write("PARTIAL")  # orphaned partial: forces the locked path
 
     events = []
     import fcntl
 
-    real_flock, real_rmtree = fcntl.flock, shutil.rmtree
+    real_flock, real_rename, real_rmtree = fcntl.flock, os.rename, shutil.rmtree
 
     def spy_flock(fd, op):
         if op == fcntl.LOCK_EX:
             events.append("lock")
         return real_flock(fd, op)
 
+    def spy_rename(src, dst, *a, **k):
+        if str(src) == path and ".orphan-" in str(dst):
+            events.append("rename_aside")
+        return real_rename(src, dst, *a, **k)
+
     def spy_rmtree(p, *a, **k):
         if str(p) == path:
             events.append("rmtree_target")
         return real_rmtree(p, *a, **k)
 
-    fcntl.flock, shutil.rmtree = spy_flock, spy_rmtree
+    fcntl.flock, os.rename, shutil.rmtree = spy_flock, spy_rename, spy_rmtree
     try:
         assert util.materialize_once(path, _fake_sink("fresh")) == path
     finally:
-        fcntl.flock, shutil.rmtree = real_flock, real_rmtree
-    assert "rmtree_target" in events
-    assert events.index("lock") < events.index("rmtree_target")
+        fcntl.flock, os.rename, shutil.rmtree = (
+            real_flock, real_rename, real_rmtree,
+        )
+    assert "rmtree_target" not in events  # target is never deleted in place
+    assert "rename_aside" in events
+    assert events.index("lock") < events.index("rename_aside")
     assert _read(path) == "fresh"
+    # the aside copy was cleaned up, not leaked
+    assert not [e for e in os.listdir(tmp_path) if ".orphan-" in e]
 
 
 def test_materialize_once_persistent_partial_raises(tmp_path):
@@ -231,19 +243,42 @@ def test_materialize_once_multiprocess_stress(tmp_path):
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def test_scratch_gc_cannot_unlink_lock_files(tmp_path):
-    """scratch_dir's sibling GC rmtree's anything matching the
-    ``{tag}_{suffix}_`` prefix — including materialize_once's
-    ``<dir>.lock`` flock FILES of other generations. That must stay
-    a no-op: shutil.rmtree refuses plain files, so a lock held by a
-    live process is never unlinked (unlinking would let two lockers
-    hold "the same" lock via different inodes)."""
-    import shutil
+def test_scratch_gc_unlinks_stale_locks_spares_current(tmp_path, monkeypatch):
+    """scratch_dir's sibling GC (ADVICE r10): stale-generation
+    ``<dir>.lock`` flock files must be unlinked explicitly (rmtree
+    is a no-op on plain files, so they used to leak one per fixture
+    regeneration forever), while EVERYTHING owned by the current
+    generation — the dir, its .lock, .tmp-*, .orphan-* siblings —
+    must survive (unlinking a live lock would let two lockers hold
+    "the same" lock via different inodes)."""
+    import tempfile
 
-    lock = tmp_path / "edges_sf0.1_deadbeef00.lock"
-    lock.write_text("")
-    shutil.rmtree(str(lock), ignore_errors=True)
-    assert lock.exists()
+    from infofarmsparkml_spark.operators import _util
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    (sf / "t.parquet").write_bytes(b"x")
+    current = os.path.basename(_util.scratch_dir("edges", str(sf)))
+    base = tmp_path / "infofarmsparkml_scratch"
+
+    stale_dir = base / "edges_sfX_deadbeef00"
+    stale_dir.mkdir()
+    stale_lock = base / "edges_sfX_deadbeef00.lock"
+    stale_lock.write_text("")
+    cur_dir = base / current
+    cur_dir.mkdir()
+    cur_lock = base / f"{current}.lock"
+    cur_lock.write_text("")
+    cur_tmp = base / f"{current}.tmp-1-abc"
+    cur_tmp.mkdir()
+    cur_orphan = base / f"{current}.orphan-abc"
+    cur_orphan.mkdir()
+
+    assert os.path.basename(_util.scratch_dir("edges", str(sf))) == current
+    assert not stale_dir.exists() and not stale_lock.exists()
+    for p in (cur_dir, cur_lock, cur_tmp, cur_orphan):
+        assert p.exists(), p
 
 
 def test_rotate_slate_policy(tmp_path, monkeypatch):
