@@ -72,6 +72,11 @@ OPS = [
     # control alongside agg_groupby)
     "graph_triangles_doulion",
     "sample_hash_deterministic",
+    # round-11 addition (VERDICT r10 #7): the fixpoint k-core twin —
+    # smoked against bounded graph_kcore; peel depth grows with
+    # diameter, not size, so the ratio should track the bounded
+    # twin's (it runs in the graph cohort at the tail)
+    "graph_kcore_exact",
     "agg_groupby",  # flagship baseline for the linearity comparison
 ]
 
