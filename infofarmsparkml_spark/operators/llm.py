@@ -1527,6 +1527,50 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_stratified_sample_hash",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'zh' THEN '40000000'
+                WHEN 'de' THEN 'g0000000'
+                WHEN 'fr' THEN 'g0000000'
+                WHEN 'es' THEN 'g0000000'
+                ELSE '00000000' END
+""",
+)
+def llm_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of `llm_stratified_sample` (the
+    `sample_hash_deterministic` pattern, r11): per-stratum Bernoulli
+    rebalancing keyed on md5(doc_id) instead of `sampleBy`'s seeded
+    RNG — keep a doc when its md5 hex prefix sorts below its
+    language's threshold (en '80000000' = 1/2, zh '40000000' = 1/4;
+    'g0000000' sorts above every hex digit so 1.0-fraction strata
+    keep everything; unmapped strata fall to '00000000' = drop,
+    mirroring sampleBy's fraction-0 default). This is the form a
+    100 TB curation pipeline actually wants: membership is a pure
+    function of content — stable under repartitioning, AQE
+    re-planning, and incremental re-runs (a re-ingested doc keeps
+    its verdict), where `.sampleBy(seed=)` depends on physical
+    partition layout. Pure codegen filter on the scan (md5 + substr
+    + string compare against a CASE of literals), no shuffle, no
+    UDF — and, unlike the RNG form, SQL-hash-checkable (md5 is
+    bit-identical across Spark/DuckDB; doc_id is NOT NULL so the
+    concat-null dialect hazard doesn't apply)."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("lang") == "en", "80000000")
+        .when(F.col("lang") == "zh", "40000000")
+        .when(F.col("lang").isin("de", "fr", "es"), "g0000000")
+        .otherwise("00000000")
+    )
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr
+    ).select("doc_id", "lang", "source")
+
+
+@query(
     "llm_doc_pack",
     oracle="""
 WITH toks AS (

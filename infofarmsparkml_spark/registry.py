@@ -73,9 +73,10 @@ _PRIORITY: list[str] = [
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
     # new/rewritten in round 11 (hash-witness on current code):
-    # the exact-coreness twin, the md5-center SQL-oracled IVF, and
-    # the segment-explode LOCF rewrite
+    # the exact-coreness twin, the md5-center SQL-oracled IVF, the
+    # segment-explode LOCF rewrite, and the md5 stratified sampler
     "graph_kcore_exact", "llm_ivf_topk", "ts_gap_fill_locf",
+    "llm_stratified_sample_hash",
     # slate (stalest-witness-first: r1-era, then r2-era)
     "graph_degree", "dq_profile", "join_outer_left", "join_outer_right",
     "join_outer_full", "join_semi", "join_anti", "join_theta",
@@ -87,8 +88,9 @@ _PRIORITY: list[str] = [
     "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
     "win_ranking", "win_analytic", "win_frame_rows", "tpch_q18", "tpch_q8",
     "udf_scalar_arrow", "udaf_grouped_agg", "scan_partition_pruned",
-    "join_dpp", "sql_correlated_scalar", "agg_collect",
+    "join_dpp", "sql_correlated_scalar",
     # ---- position 51+: round-12 queue (not in this round's slate) --
+    "agg_collect",
     "llm_text_stats", "llm_lang_id", "llm_fingerprint",
     "llm_simhash", "ml_tokenize_tf", "scan_projected", "limit_topk",
     "sql_recursive_cte", "udtf_grouped_map", "udtf_python",

@@ -395,6 +395,53 @@ def test_hash_sample_membership_partition_invariant(spark, sf_dir):
         assert got == expected, f"membership drifted at {n} partitions"
 
 
+def test_stratified_hash_sample_rates_and_invariance(spark, sf_dir):
+    """llm_stratified_sample_hash (round 11): per-stratum membership
+    is a pure function of doc_id, so (a) 1.0-fraction strata keep
+    every doc, (b) unmapped strata would drop (none in the fixture),
+    (c) downsampled strata track their fraction within a loose
+    binomial band, and (d) the kept doc_id set is invariant under
+    repartitioning."""
+    from pyspark.sql import functions as F2
+
+    from infofarmsparkml_spark.operators._util import load_table
+    from infofarmsparkml_spark.registry import get
+
+    fn, _ = get("llm_stratified_sample_hash")
+    kept = fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    }
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang in ("de", "fr", "es"):
+        assert len(by_lang.get(lang, ())) == totals[lang], lang
+    for lang, frac in (("en", 0.5), ("zh", 0.25)):
+        rate = len(by_lang.get(lang, ())) / totals[lang]
+        assert abs(rate - frac) < 0.15, (lang, rate)
+    expected = {r["doc_id"] for r in kept}
+    for n in (1, 7):
+        got = {
+            r["doc_id"]
+            for r in fn(spark, sf_dir)
+            .sparkSession.createDataFrame(
+                docs.repartition(n).collect(), docs.schema
+            )
+            .filter(
+                F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 8)
+                < F2.when(F2.col("lang") == "en", "80000000")
+                .when(F2.col("lang") == "zh", "40000000")
+                .when(F2.col("lang").isin("de", "fr", "es"), "g0000000")
+                .otherwise("00000000")
+            )
+            .collect()
+        }
+        assert got == expected, f"membership drifted at {n} partitions"
+
+
 def test_spark_rng_sample_is_partition_sensitive_demo(spark, sf_dir):
     """The counter-property that motivates the hash twin: Spark's
     seeded Bernoulli sample is documented here as partition-layout
