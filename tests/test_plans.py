@@ -93,6 +93,17 @@ def test_hash_sample_is_pure_scan_filter(spark, sf_dir):
     assert "md5" in plan and "Filter" in plan, plan[:2000]
 
 
+def test_stratified_hash_sample_is_pure_scan_filter(spark, sf_dir):
+    """llm_stratified_sample_hash (r11) keeps the hash-sample
+    posture in the stratified case: zero exchanges, one parquet
+    scan, a codegen filter comparing md5 against a CASE of literals
+    — per-stratum rebalancing adds no shuffle at any scale."""
+    plan = explain_str(q("llm_stratified_sample_hash")(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "md5" in plan and "Filter" in plan, plan[:2000]
+
+
 def test_triangles_doulion_no_cartesian_hash_probed(spark, sf_dir):
     """The sparsified path join must keep the exact operator's
     posture: hash-probed edge joins (no sort-merge of the path
