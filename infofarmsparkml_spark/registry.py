@@ -69,29 +69,13 @@ def _load_all_operator_modules() -> None:
 # by scripts/rotate_slate.py from CORRECTNESS_r*.json history.
 # Positions 51+ pre-queue round 12 (r2-era functions/windows tail).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r10; re-run each round)
+    # sentinels (driver-PASS every round r1-r11; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # new/rewritten in round 11 (hash-witness on current code):
-    # the exact-coreness twin, the md5-center SQL-oracled IVF, the
-    # segment-explode LOCF rewrite, and the md5 stratified sampler
-    "graph_kcore_exact", "llm_ivf_topk", "ts_gap_fill_locf",
-    "llm_stratified_sample_hash",
-    # slate (stalest-witness-first: r1-era, then r2-era)
-    "graph_degree", "dq_profile", "join_outer_left", "join_outer_right",
-    "join_outer_full", "join_semi", "join_anti", "join_theta",
-    "join_multikey_selfjoin", "filter_conj", "filter_like",
-    "filter_between_in", "case_when", "project_arith", "agg_stats",
-    "agg_having", "agg_corr_pairs", "agg_approx_top_k", "agg_unpivot",
-    "dq_skew_report", "agg_distinct", "agg_rollup", "agg_conditional",
-    "agg_bool", "agg_string_agg", "filter_null", "join_cross",
-    "set_union_distinct", "set_intersect", "set_except", "distinct_rows",
-    "win_ranking", "win_analytic", "win_frame_rows", "tpch_q18", "tpch_q8",
-    "udf_scalar_arrow", "udaf_grouped_agg", "scan_partition_pruned",
-    "join_dpp", "sql_correlated_scalar",
-    # ---- position 51+: round-12 queue (not in this round's slate) --
-    "agg_collect",
-    "llm_text_stats", "llm_lang_id", "llm_fingerprint",
+    # round-12 slate: the r2-era functions/windows tail plus the
+    # r3-era streaming ops T2/T3/T5/T6/T7 (VERDICT r11 ask #1) —
+    # stalest-driver-witness-first per scripts/rotate_slate.py
+    "agg_collect", "llm_text_stats", "llm_lang_id", "llm_fingerprint",
     "llm_simhash", "ml_tokenize_tf", "scan_projected", "limit_topk",
     "sql_recursive_cte", "udtf_grouped_map", "udtf_python",
     "win_topk_per_group", "win_percent", "fn_array", "fn_explode", "fn_map",
@@ -100,6 +84,19 @@ _PRIORITY: list[str] = [
     "llm_repetition_score", "llm_contamination", "llm_quota_sample",
     "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
     "ml_tfidf", "ml_ngram_stopwords", "ml_word_count", "ml_sentiment_lexicon",
+    "ml_linreg", "mm_binary_metadata", "mm_decode_wav_ppm",
+    "stream_sliding", "stream_session", "stream_dedup",
+    "stream_stateful_custom", "stream_stream_join", "stream_foreach_batch",
+    # ---- position 51+: round-13 queue (not in this round's slate) --
+    "win_sessionize", "events_funnel", "events_retention", "tpch_q5",
+    "tpch_q10", "tpch_q7", "tpch_q17", "fn_variant", "graph_bfs",
+    "llm_multimodal_join", "llm_quality_filter", "llm_incremental_dedup",
+    "llm_quality_scorecard", "ml_eval", "ml_scaler_pca", "scan_parquet",
+    "scan_csv", "scan_json_lines", "sink_parquet", "sink_bucketed",
+    "sink_csv_roundtrip", "etl_compact_small_files", "sink_zorder",
+    "scan_schema_evolution", "etl_partition_overwrite", "scan_orc",
+    "scan_text", "sql_scalar_subquery", "sql_exists_in", "sql_cte",
+    "sql_lateral_view", "sql_lateral_join",
 ]
 
 
