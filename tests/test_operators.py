@@ -5,6 +5,7 @@ algebraic invariants (SURVEY.md §5.3-5.4).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from infofarmsparkml_spark import registry
@@ -1191,14 +1192,127 @@ def test_kcore_exact_vs_bounded_known_answer(spark):
     assert bounded == {
         10: 1, 9: 2, 8: 3, 7: 4, 6: 5, 5: 0, 4: 0, 1: 0, 2: 0, 3: 0,
     }, bounded
+    # runtime oracle-unroll guard (ADVICE r11): this graph's true
+    # peel depth is 7, so a 5-round unroll contract must RAISE when
+    # round 6 still removes nodes — on any input, not just fixtures
+    with pytest.raises(RuntimeError, match="unroll"):
+        _kcore_peel(sym, kdf, n_rounds=None, oracle_unroll=5).collect()
+    # ...while an unroll that covers the depth exactly passes
+    ok = {
+        r["part"]: r["removed_round"]
+        for r in _kcore_peel(sym, kdf, n_rounds=None, oracle_unroll=7).collect()
+    }
+    assert ok == exact
+
+
+def _pagerank_delta_py_oracle(
+    und: list[tuple[int, int]],
+    tau: int = 1000,
+    cap: int = 12,
+    burn_in: int = 3,
+) -> tuple[int, dict[int, int]]:
+    """Independent pure-Python replica of the delta-pagerank integer
+    recurrence and stop rule, for known-answer tests."""
+    adj: list[tuple[int, int]] = []
+    for u, v in und:
+        adj += [(u, v), (v, u)]
+    deg: dict[int, int] = {}
+    for u, _ in adj:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {u: 1_000_000 for u in deg}
+    for r in range(1, cap + 1):
+        s: dict[int, int] = {u: 0 for u in deg}
+        for u, v in adj:
+            s[v] += rank[u] // deg[u]
+        new = {u: 150_000 + (17 * s[u]) // 20 for u in deg}
+        max_delta = max(abs(new[u] - rank[u]) for u in deg)
+        rank = new
+        if r >= burn_in and max_delta <= tau:
+            return r, rank
+    return cap, rank
+
+
+@pytest.mark.parametrize(
+    "und,expect_early",
+    [
+        # slow mixer — star bridged to a triangle via a pendant
+        # edge; floor noise never settles under tau, so the loop
+        # must run to the cap and return round-12 ranks (the
+        # cap-path contract the oracle's COALESCE mirrors)
+        ([(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (5, 7), (6, 7)], False),
+        # fast mixer — K8 plus one pendant: dense core converges and
+        # the early exit fires (measured stop round 8), with a real
+        # rank spread (pendant ~0.29, its hub ~1.29, core ~1.06)
+        (
+            [
+                (a, b)
+                for a in range(1, 9)
+                for b in range(a + 1, 9)
+            ]
+            + [(8, 9)],
+            True,
+        ),
+    ],
+)
+def test_pagerank_delta_known_answer(spark, und, expect_early):
+    """Hand-built graphs driven through the SHARED iterate helper
+    (the registered query's own arithmetic, not an inline copy —
+    ADVICE r11), checked against an independent pure-Python replica
+    of the integer recurrence AND the stop rule — one graph per stop
+    path: early exit and cap. The helper must return the python
+    oracle's stop-round vector exactly, bit-for-bit, and the same
+    rounds_run."""
+    from pyspark.sql import functions as F
+
+    from infofarmsparkml_spark.operators.graph import (
+        _pagerank_delta_iterate,
+    )
+
+    df = spark.createDataFrame(und, "src long, dst long")
+    sym = (
+        df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    expect_rounds, expect_rank = _pagerank_delta_py_oracle(und)
+    assert (expect_rounds < 12) == expect_early
+
+    ranks_df, rounds_run = _pagerank_delta_iterate(sym)
+    got = {r["src"]: r["rank"] for r in ranks_df.collect()}
+    assert rounds_run == expect_rounds, (rounds_run, expect_rounds)
+    assert got == expect_rank, (got, expect_rank)
+
+
+def test_pagerank_delta_converges_early_on_fixture(spark, sf_dir):
+    """The whole point of the twin is fewer rounds than the fixed-10
+    `graph_pagerank` on fast-mixing graphs: the co-purchase fixture
+    measures stop-round 4 at all three SFs (deltas 495k -> 26k ->
+    2.4k -> <=801 micro). Pin rounds_run <= 6 so a regression that
+    silently runs to the cap (paying 12 edge joins where 4 suffice)
+    fails loudly; parity itself is cap-safe by construction."""
+    from infofarmsparkml_spark.operators.graph import (
+        _copurchase_edges,
+        _pagerank_delta_iterate,
+    )
+    from pyspark.sql import functions as F
+
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    _, rounds_run = _pagerank_delta_iterate(edges)
+    assert 3 <= rounds_run <= 6, rounds_run
 
 
 def test_kcore_exact_refines_bounded_on_fixture(spark, sf_dir):
     """On the co-purchase fixture the two twins must agree on every
     round-1..5 peel; the exact twin may peel deeper (rounds 6+) but
     only from nodes the bounded twin called residual-core, and its
-    depth must stay under the oracle's 12-round unroll so parity
-    breakage would surface as this loud assert, not a hash drift."""
+    measured depth must stay at least 4 rounds of headroom under
+    the oracle's 16-round unroll (<= 12), so fixture drift toward
+    the cliff fails here long before the runtime guard in
+    _kcore_peel (which raises past round 16 on any input) would."""
     bounded = {
         r["part"]: r["removed_round"]
         for r in q("graph_kcore")(spark, sf_dir).collect()

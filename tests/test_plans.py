@@ -570,6 +570,10 @@ def test_checkpointed_ops_do_not_rescan(spark, sf_dir):
         # final 6-way union must read RDD scans, never re-derive the
         # co-purchase self-join or earlier rounds' degree joins
         "graph_kcore": 0,
+        # the returned frame is a projection of the last round's
+        # checkpointed rank vector: 0 parquet scans, no edge-join
+        # re-derivation at action time (r12)
+        "graph_pagerank_delta": 0,
     }
     for name, max_scans in bounds.items():
         plan = explain_str(q(name)(spark, sf_dir), "simple")
