@@ -111,12 +111,28 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
                     # for DEAD generations only — everything owned
                     # by the current generation (the dir itself and
                     # its .lock/.tmp-*/.orphan-* siblings) is
-                    # excluded by the startswith(current) guard, so
-                    # the unlink-vs-lock race cannot reopen; stale
-                    # generations are dead by the same GC contract
-                    # that lets their dirs be pruned.
+                    # excluded by the startswith(current) guard.
+                    # Unlinking a HELD flock file would let two
+                    # lockers "hold" the same lock via different
+                    # inodes, so before unlinking a .lock we probe
+                    # it with a non-blocking flock (ADVICE r11):
+                    # acquisition proves no process holds it — even
+                    # one violating the forward-only fixture
+                    # contract — and the unlink happens while we
+                    # hold it, so no rival can have acquired this
+                    # inode in between. A held or vanished lock is
+                    # simply left for a later GC pass.
                     try:
-                        os.unlink(p)
+                        if p.endswith(".lock"):
+                            import fcntl
+
+                            with open(p, "r+") as probe:
+                                fcntl.flock(
+                                    probe, fcntl.LOCK_EX | fcntl.LOCK_NB
+                                )
+                                os.unlink(p)
+                        else:
+                            os.unlink(p)
                     except OSError:
                         pass
                 else:
@@ -156,8 +172,16 @@ def materialize_once(path: str, write_fn) -> str:
     rival's lock-free optimistic publish can land between the
     locked _SUCCESS check and the destructive step — renaming aside
     never deletes the rival's part files out from under a reader
-    (worst case the bit-identical republish restores ``path`` one
-    atomic step later), whereas an in-place rmtree could. Writers
+    that already opened them, whereas an in-place rmtree could.
+    KNOWN RESIDUAL WINDOW (ADVICE r11): aside-then-republish is TWO
+    atomic renames, not one — between them ``path`` is briefly
+    absent, so a reader that just resolved ``path`` from a rival's
+    publish can hit a transient ENOENT and must tolerate a retry
+    (every caller goes through spark.read, which re-resolves on the
+    next call, and cached derivations are bit-identical, so a retry
+    always sees equivalent content); a crash landing exactly between
+    the two renames discards the rival's valid publish, rebuilt on
+    the next call. Writers
     only ever publish (rename) either on the lock-free FIRST
     attempt — which cannot delete anything — or while holding the
     lock, so the locked _SUCCESS re-check is authoritative. The retry is

@@ -244,13 +244,17 @@ def test_materialize_once_multiprocess_stress(tmp_path):
 
 
 def test_scratch_gc_unlinks_stale_locks_spares_current(tmp_path, monkeypatch):
-    """scratch_dir's sibling GC (ADVICE r10): stale-generation
+    """scratch_dir's sibling GC (ADVICE r10/r11): stale-generation
     ``<dir>.lock`` flock files must be unlinked explicitly (rmtree
     is a no-op on plain files, so they used to leak one per fixture
-    regeneration forever), while EVERYTHING owned by the current
-    generation — the dir, its .lock, .tmp-*, .orphan-* siblings —
-    must survive (unlinking a live lock would let two lockers hold
-    "the same" lock via different inodes)."""
+    regeneration forever) — but ONLY when a non-blocking flock
+    probe proves nobody holds them: a stale lock still HELD by a
+    process violating the forward-only fixture contract must be
+    spared, since unlinking it would let two lockers hold "the
+    same" lock via different inodes. Everything owned by the
+    current generation — the dir, its .lock, .tmp-*, .orphan-*
+    siblings — must survive regardless."""
+    import fcntl
     import tempfile
 
     from infofarmsparkml_spark.operators import _util
@@ -266,6 +270,8 @@ def test_scratch_gc_unlinks_stale_locks_spares_current(tmp_path, monkeypatch):
     stale_dir.mkdir()
     stale_lock = base / "edges_sfX_deadbeef00.lock"
     stale_lock.write_text("")
+    held_lock = base / "edges_sfX_deadbeef11.lock"
+    held_lock.write_text("")
     cur_dir = base / current
     cur_dir.mkdir()
     cur_lock = base / f"{current}.lock"
@@ -275,10 +281,16 @@ def test_scratch_gc_unlinks_stale_locks_spares_current(tmp_path, monkeypatch):
     cur_orphan = base / f"{current}.orphan-abc"
     cur_orphan.mkdir()
 
-    assert os.path.basename(_util.scratch_dir("edges", str(sf))) == current
+    with open(held_lock, "r+") as holder:
+        fcntl.flock(holder, fcntl.LOCK_EX)  # a live (contract-violating) locker
+        assert os.path.basename(_util.scratch_dir("edges", str(sf))) == current
     assert not stale_dir.exists() and not stale_lock.exists()
+    assert held_lock.exists(), "held stale lock must be spared by the probe"
     for p in (cur_dir, cur_lock, cur_tmp, cur_orphan):
         assert p.exists(), p
+    # released now: the next GC pass may reap it
+    assert os.path.basename(_util.scratch_dir("edges", str(sf))) == current
+    assert not held_lock.exists()
 
 
 def test_rotate_slate_policy(tmp_path, monkeypatch):
