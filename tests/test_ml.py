@@ -5,8 +5,11 @@ with analytically known optima; metric thresholds, not row equality.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
+
+from tests.conftest import SF_DIR
 
 from pyspark.sql import functions as F
 
@@ -242,6 +245,65 @@ def test_linreg_exact_line(ml):
     ).fit(data)
     assert abs(model.coefficients[0] - 3.0) < 1e-6
     assert abs(model.intercept - 7.0) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "sf", ["sf0.001", "sf0.01"], ids=["sf0.001", "sf0.01"]
+)
+def test_seeded_trainers_fixture_metrics_both_sfs(ml, sf):
+    """VERDICT r11 #7: the rows-only seeded trainers' metric
+    assertions ran at sf0.001 only — a trainer that silently
+    degraded at the driver's correctness scale (sf0.01) had no
+    fixture-scale witness. Drive the three cheapest registered
+    trainer queries at BOTH SFs and assert their fit quality on the
+    fixture itself: LR and NB must beat the majority-class baseline
+    of their targets by a real margin (the embeddings/labels and
+    embeddings/labels fixture is learnably structured at every SF),
+    NB must behave like a correctly-fit prior-dominated classifier
+    (the fixture's text deliberately shares ONE vocabulary across
+    langs — verified by sampling — so matching the majority prior IS
+    the Bayes-optimal answer there, and dropping below it would mean
+    a broken pipeline), and the closed-form linreg's residuals must
+    average far below the target's own spread (R^2-style sanity
+    without pinning floats)."""
+    sf_dir = os.path.join(
+        os.path.dirname(os.path.normpath(SF_DIR)), sf
+    )
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"fixture {sf_dir} absent")
+
+    # ml_classify_lr: accuracy over embeddings vs majority baseline
+    rows = q("ml_classify_lr")(ml, sf_dir).collect()
+    acc = sum(r["label"] == r["predicted"] for r in rows) / len(rows)
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[r["label"]] = counts.get(r["label"], 0) + 1
+    majority = max(counts.values()) / len(rows)
+    assert acc > majority + 0.1, (sf, acc, majority)
+
+    # ml_naive_bayes: every doc classified, predictions drawn from
+    # the observed label set, and accuracy at least the majority
+    # prior (language carries no text signal in this fixture, so
+    # the prior is the ceiling; falling below it = broken pipeline)
+    docs_n = load_table(ml, sf_dir, "documents").count()
+    rows = q("ml_naive_bayes")(ml, sf_dir).collect()
+    assert len(rows) == docs_n
+    langs = {r["lang"] for r in rows}
+    assert {r["predicted_lang"] for r in rows} <= langs
+    acc = sum(r["lang"] == r["predicted_lang"] for r in rows) / len(rows)
+    counts = {}
+    for r in rows:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    majority = max(counts.values()) / len(rows)
+    assert acc >= majority - 0.02, (sf, acc, majority)
+
+    # ml_linreg: mean |residual| far below the target's own spread
+    rows = q("ml_linreg")(ml, sf_dir).collect()
+    n = len(rows)
+    mean_chars = sum(r["n_chars"] for r in rows) / n
+    mad_baseline = sum(abs(r["n_chars"] - mean_chars) for r in rows) / n
+    mad_model = sum(abs(r["residual"]) for r in rows) / n
+    assert mad_model < 0.5 * mad_baseline, (sf, mad_model, mad_baseline)
 
 
 def test_fpgrowth_known_itemsets(ml):

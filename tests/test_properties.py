@@ -401,7 +401,11 @@ def test_stratified_hash_sample_rates_and_invariance(spark, sf_dir):
     every doc, (b) unmapped strata would drop (none in the fixture),
     (c) downsampled strata track their fraction within a loose
     binomial band, and (d) the kept doc_id set is invariant under
-    repartitioning."""
+    repartitioning. Leg (d) drives THE OPERATOR over the
+    repartitioned frame (load_table monkeypatched in the operator's
+    module — ADVICE r11: an inline re-implementation of the
+    threshold filter would keep passing if the operator's own
+    threshold drifted)."""
     from pyspark.sql import functions as F2
 
     from infofarmsparkml_spark.operators._util import load_table
@@ -423,22 +427,17 @@ def test_stratified_hash_sample_rates_and_invariance(spark, sf_dir):
         rate = len(by_lang.get(lang, ())) / totals[lang]
         assert abs(rate - frac) < 0.15, (lang, rate)
     expected = {r["doc_id"] for r in kept}
+    from infofarmsparkml_spark.operators import llm as llm_mod
+
+    real_load_table = llm_mod.load_table
     for n in (1, 7):
-        got = {
-            r["doc_id"]
-            for r in fn(spark, sf_dir)
-            .sparkSession.createDataFrame(
-                docs.repartition(n).collect(), docs.schema
+        try:
+            llm_mod.load_table = (
+                lambda s, d, t, _n=n: real_load_table(s, d, t).repartition(_n)
             )
-            .filter(
-                F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 8)
-                < F2.when(F2.col("lang") == "en", "80000000")
-                .when(F2.col("lang") == "zh", "40000000")
-                .when(F2.col("lang").isin("de", "fr", "es"), "g0000000")
-                .otherwise("00000000")
-            )
-            .collect()
-        }
+            got = {r["doc_id"] for r in fn(spark, sf_dir).collect()}
+        finally:
+            llm_mod.load_table = real_load_table
         assert got == expected, f"membership drifted at {n} partitions"
 
 

@@ -365,6 +365,65 @@ def test_tws_gate_and_twin_equivalence(spark, sf_dir):
     assert tws == t6
 
 
+def test_tws_gate_both_paths_mocked(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #6: exercise BOTH sides of the capability gate
+    regardless of what this container has, so a future container
+    WITH protobuf upgrades coverage automatically instead of
+    silently diverging. Path A forces the gate CLOSED and asserts
+    the fallback engine still matches T6 exactly; path B forces the
+    gate OPEN and spies on `transformWithStateInPandas` to assert
+    the TWS branch's wiring — processor, output schema, Update/None
+    modes, the RocksDB provider set AT CALL TIME — and that the
+    session's previous provider is restored even when the call
+    raises (the finally contract)."""
+    from pyspark.sql.group import GroupedData
+
+    from infofarmsparkml_spark.streaming import ops as ops_mod
+    from infofarmsparkml_spark.streaming.ops import _TWS_OUT_SCHEMA
+
+    # path A: gate forced closed -> applyInPandasWithState fallback
+    monkeypatch.setattr(ops_mod, "tws_runtime_available", lambda: False)
+    tws = {
+        (r.user_id, r.n_events, r.total_value, r.last_seen)
+        for r in q("stream_stateful_tws")(spark, sf_dir).collect()
+    }
+    t6 = {
+        (r.user_id, r.n_events, r.total_value, r.last_seen)
+        for r in q("stream_stateful_custom")(spark, sf_dir).collect()
+    }
+    assert tws == t6
+
+    # path B: gate forced open -> the TWS branch must be taken and
+    # wired correctly (spy raises so no runtime execution is needed)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    seen: dict = {}
+
+    class SpyCalled(RuntimeError):
+        pass
+
+    def spy(self, statefulProcessor, outputStructType, outputMode, timeMode):
+        seen["processor"] = statefulProcessor
+        seen["schema"] = outputStructType
+        seen["mode"] = (outputMode, timeMode)
+        seen["provider_at_call"] = spark.conf.get(conf_key, None)
+        raise SpyCalled()
+
+    monkeypatch.setattr(ops_mod, "tws_runtime_available", lambda: True)
+    monkeypatch.setattr(
+        GroupedData, "transformWithStateInPandas", spy, raising=False
+    )
+    with pytest.raises(SpyCalled):
+        q("stream_stateful_tws")(spark, sf_dir)
+    assert seen["schema"] == _TWS_OUT_SCHEMA
+    assert seen["mode"] == ("Update", "None")
+    assert hasattr(seen["processor"], "handleInputRows")
+    assert seen["provider_at_call"].endswith("RocksDBStateStoreProvider")
+    assert spark.conf.get(conf_key, None) == prev_provider, (
+        "provider must be restored after the TWS attempt"
+    )
+
+
 def test_streaming_restart_recovery_exactly_once(spark, sf_dir, tmp_path):
     """Kill-and-resume exactly-once (the production streaming
     behavior the suite didn't yet prove): a checkpointed file-sink
