@@ -128,7 +128,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 per-iteration joins reuse it and only the 20k-row rank vector
     moves per round (measured 8.6 s -> 5.1 s at sf0.1, identical
     output) — on a cluster this is the difference between shuffling
-    the 100 TB edge set once vs ten times."""
+    the 100 TB edge set once vs ten times. Because all 10 rounds
+    compile into ONE DAG, the edge side's exchange(+sort, past the
+    broadcast threshold) is planned once and REUSED by every round's
+    join (ReusedExchange) — probed empirically in the r12 two-decade
+    smoke: forcing SHUFFLE_HASH on the rank side, which looked
+    sort-free on paper, broke that reuse and measured 2.5x SLOWER at
+    sf1/sf10; the un-hinted plan holds both decade ratios <= ~6."""
     edges = (
         _copurchase_edges(spark, sf_dir)
         .repartition(F.col("src"))
@@ -248,8 +254,20 @@ def _pagerank_delta_iterate(
         contrib = ranks.join(out_deg, "src").select(
             "src", F.expr("rank DIV out_deg").alias("c")
         )
+        # BROADCAST the vertex-sized contribution vector (r12
+        # two-decade smoke): the per-round convergence actions split
+        # this loop into separate JOBS, so — unlike the fixed twin's
+        # single-DAG ReusedExchange — nothing amortizes the edge
+        # side's exchange+sort across rounds once the vector passes
+        # the 10 MB auto-broadcast threshold (measured: sf1->sf10
+        # decade ratio 19x at 2M vertices, ~32 MB). Broadcasting
+        # keeps every round a map-side hash probe of the
+        # checkpointed edges: no edge exchange, no sort, at any
+        # vertex count whose vector fits driver/executor memory
+        # (~1e8; past that, persist edges bucketed-by-src so a
+        # shuffled-hash join needs no per-round edge exchange).
         new = (
-            edges.join(contrib, "src")
+            edges.join(F.broadcast(contrib), "src")
             .groupBy(F.col("dst").alias("src"))
             .agg(
                 F.expr(
