@@ -889,40 +889,45 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic SRP-LSH hyperplanes shared by the near-dup detector
-# and the kNN join: 256 planes x 64 dims, weight = md5-prefix of
+# and the kNN join: 320 planes x 64 dims, weight = md5-prefix of
 # "h_j" mod 16 - 8. md5 is md5 in every engine, so the DuckDB
 # oracles regenerate the identical matrix from SQL (no literal blob
 # to keep in sync). Consumers slice the prefix they address
 # (`_srp_band_keys`): near-dup uses planes 0-31 (4 bands x 8 bits,
-# unchanged from r5 bit-for-bit), the kNN join up to all 256
-# (16 bands x adaptive 4-16 bits).
+# unchanged from r5 bit-for-bit), the kNN join up to all 320
+# (16 bands x adaptive 4-20 bits).
 _SRP_W: list[list[int]] = [
     [
         int(_hashlib.md5(f"{h}_{j}".encode()).hexdigest()[:4], 16) % 16 - 8
         for j in range(64)
     ]
-    for h in range(256)
+    for h in range(320)
 ]
 
 
 # Occupancy-adaptive band width for the kNN join: bits =
-# clamp(floor(log2 N) - 5, 4, 16), i.e. 2^bits grows with the
+# clamp(floor(log2 N) - 5, 4, 20), i.e. 2^bits grows with the
 # corpus so expected bucket occupancy (N / 2^bits <= ~64) — and so
 # candidate pairs per vector — stays CONSTANT as N grows. Pure
 # integer threshold chain, so Python (plan construction) and the
 # DuckDB oracle (CASE chain generated from the same arithmetic
 # below) agree exactly at every N including the power-of-two
 # boundaries. The r6 scale smoke motivated this: fixed 4-bit bands
-# (16 buckets) gave a 24x wall-clock ratio at 10x data.
+# (16 buckets) gave a 24x wall-clock ratio at 10x data; the r12
+# two-decade smoke raised the cap 16 -> 20 after the 16-bit ceiling
+# let occupancy (hence candidate volume) grow again past N ~= 2M
+# (sf10's 5M vectors measured d2 12.9x isolated) — 20 bits keeps
+# occupancy in band through N ~= 2^26 ~= 67M vectors; no fixture SF
+# reaches 14 bits, so every driver-checked hash is untouched.
 def _adaptive_band_bits(n: int) -> int:
-    return min(16, max(4, n.bit_length() - 6))
+    return min(20, max(4, n.bit_length() - 6))
 
 
 # the SQL twin, generated from the same shifts so the chains can
 # never drift: bits >= b  <=>  n >= 2^(b+5)
 _BAND_BITS_CASE_SQL = (
     "CASE "
-    + " ".join(f"WHEN n >= {1 << (b + 5)} THEN {b}" for b in range(16, 4, -1))
+    + " ".join(f"WHEN n >= {1 << (b + 5)} THEN {b}" for b in range(20, 4, -1))
     + " ELSE 4 END"
 )
 
@@ -965,7 +970,7 @@ weights AS (
          CAST(('0x' || substring(md5(CAST(h AS VARCHAR) || '_'
                                       || CAST(j AS VARCHAR)), 1, 4)) AS INT)
            % 16 - 8 AS w
-  FROM range(256) t(h), range(64) u(j)
+  FROM range(320) t(h), range(64) u(j)
   WHERE h < {n_bands} * (SELECT bits FROM nb)),
 wrow AS (SELECT h, list(CAST(w AS DOUBLE) ORDER BY j) AS wr
          FROM weights GROUP BY h),

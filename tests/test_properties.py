@@ -332,26 +332,33 @@ def test_adaptive_band_bits_matches_sql_case_chain(n):
         f"SELECT {_BAND_BITS_CASE_SQL} FROM (SELECT CAST({n} AS BIGINT) AS n)"
     ).fetchone()[0]
     assert sql_bits == py_bits
-    assert 4 <= py_bits <= 16
+    assert 4 <= py_bits <= 20
     # monotone non-decreasing: more data never means fewer buckets
     assert _adaptive_band_bits(n + 1) >= py_bits
 
 
 def test_srp_plane_pool_prefix_is_r5_stable():
-    """`_SRP_W` grew 32 -> 256 planes for the adaptive kNN bands;
-    the first 32 rows MUST stay bit-identical because the near-dup
-    detector's committed oracle (and its r5 driver hash record)
-    addresses exactly those. Pin the md5 of the prefix."""
+    """`_SRP_W` grew 32 -> 256 planes for the adaptive kNN bands
+    (r6), then 256 -> 320 when the adaptive cap rose 16 -> 20 bits
+    (r12); growth must only ever APPEND — the first 32 rows MUST
+    stay bit-identical because the near-dup detector's committed
+    oracle (and its r5 driver hash record) addresses exactly those,
+    and the first 256 carry every kNN hash witnessed through r11.
+    Pin the md5 of both prefixes."""
     import hashlib
     import json
 
     from infofarmsparkml_spark.operators.llm import _SRP_W
 
-    assert len(_SRP_W) == 256 and all(len(r) == 64 for r in _SRP_W)
+    assert len(_SRP_W) == 320 and all(len(r) == 64 for r in _SRP_W)
     digest = hashlib.md5(
         json.dumps(_SRP_W[:32]).encode()
     ).hexdigest()
     assert digest == "bdf31b67cbbecc4b1a267f36f1ce16a8"
+    digest256 = hashlib.md5(
+        json.dumps(_SRP_W[:256]).encode()
+    ).hexdigest()
+    assert digest256 == "16234308d8b182926437963694d6a78c"
 
 
 def test_hash_sample_membership_partition_invariant(spark, sf_dir):
