@@ -69,34 +69,44 @@ def _load_all_operator_modules() -> None:
 # by scripts/rotate_slate.py from CORRECTNESS_r*.json history.
 # Positions 51+ pre-queue round 12 (r2-era functions/windows tail).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r11; re-run each round)
+    # sentinels (driver-PASS every round r1-r12; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-12 slate: the r2-era functions/windows tail plus the
-    # r3-era streaming ops T2/T3/T5/T6/T7 (VERDICT r11 ask #1) —
-    # stalest-driver-witness-first per scripts/rotate_slate.py
-    "agg_collect", "llm_text_stats", "llm_lang_id", "llm_fingerprint",
-    "llm_simhash", "ml_tokenize_tf", "scan_projected", "limit_topk",
-    "sql_recursive_cte", "udtf_grouped_map", "udtf_python",
-    "win_topk_per_group", "win_percent", "fn_array", "fn_explode", "fn_map",
-    "fn_struct", "fn_date", "fn_math", "fn_cast_null", "fn_string", "fn_hash",
-    "stream_join", "agg_stats_higher", "agg_pivot", "etl_scd2",
-    "llm_repetition_score", "llm_contamination", "llm_quota_sample",
-    "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
-    "ml_tfidf", "ml_ngram_stopwords", "ml_word_count", "ml_sentiment_lexicon",
-    "ml_linreg", "mm_binary_metadata", "mm_decode_wav_ppm",
-    "stream_sliding", "stream_session", "stream_dedup",
-    "stream_stateful_custom", "stream_stream_join", "stream_foreach_batch",
-    # ---- position 51+: round-13 queue (not in this round's slate) --
-    "win_sessionize", "events_funnel", "events_retention", "tpch_q5",
-    "tpch_q10", "tpch_q7", "tpch_q17", "fn_variant", "graph_bfs",
-    "llm_multimodal_join", "llm_quality_filter", "llm_incremental_dedup",
-    "llm_quality_scorecard", "ml_eval", "ml_scaler_pca", "scan_parquet",
-    "scan_csv", "scan_json_lines", "sink_parquet", "sink_bucketed",
-    "sink_csv_roundtrip", "etl_compact_small_files", "sink_zorder",
-    "scan_schema_evolution", "etl_partition_overwrite", "scan_orc",
-    "scan_text", "sql_scalar_subquery", "sql_exists_in", "sql_cte",
-    "sql_lateral_view", "sql_lateral_join",
+    # round-13 slate (VERDICT r12 ask #1): graph_pagerank_delta first
+    # — the only registered query with no driver CORRECTNESS row —
+    # then the stalest surviving hashes per scripts/rotate_slate.py:
+    # the 8 r3-era rows, the r4-era scan/sink/sql/tpch cohort (incl.
+    # S1-S4, ml_eval/ml_scaler_pca, llm_multimodal_join/
+    # llm_quality_filter/llm_incremental_dedup named by the verdict),
+    # and the 5 r5-era names the verdict called out explicitly
+    # (sort_multi, set_union_all, dropdup_deterministic, udf_plain,
+    # er_sorted_neighborhood).
+    "graph_pagerank_delta", "win_sessionize", "events_funnel",
+    "events_retention", "tpch_q5", "tpch_q10", "tpch_q7", "tpch_q17",
+    "fn_variant", "graph_bfs", "llm_multimodal_join", "llm_quality_filter",
+    "llm_incremental_dedup", "llm_quality_scorecard", "ml_eval",
+    "ml_scaler_pca", "scan_parquet", "scan_csv", "scan_json_lines",
+    "sink_parquet", "sink_bucketed", "sink_csv_roundtrip",
+    "etl_compact_small_files", "sink_zorder", "scan_schema_evolution",
+    "etl_partition_overwrite", "scan_orc", "scan_text", "sql_scalar_subquery",
+    "sql_exists_in", "sql_cte", "sql_lateral_view", "sql_lateral_join",
+    "sql_not_in_null_aware", "ts_resample_ohlc", "ts_anomaly_zscore",
+    "tpch_q4", "tpch_q14", "tpch_q19", "tpch_q12",
+    "sort_multi", "set_union_all", "dropdup_deterministic", "udf_plain",
+    "er_sorted_neighborhood",
+    # ---- position 51+: round-14 queue (not in this round's slate) --
+    # remaining r4 tpch tail, then the r5 curation/windows cohort
+    "tpch_q13", "tpch_q15", "tpch_q2", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q22", "fn_url", "fn_fuzzy_match", "fn_pseudonymize",
+    "agg_mode", "dq_expectations", "etl_incremental_agg",
+    "dq_referential_integrity", "etl_snapshot_diff", "graph_sssp_weighted",
+    "llm_token_count", "llm_ngram_jaccard", "llm_simhash_pairs",
+    "llm_embedding_neardup", "llm_doc_pack", "llm_pii_scrub",
+    "llm_chunk_sliding", "llm_ngram_containment", "llm_bigram_logprob",
+    "llm_vocab_coverage", "join_spatial_grid", "mm_resize_ppm",
+    "mm_frame_sample", "sort_range_partitioned", "events_attribution",
+    "win_pattern_match", "events_rfm", "scan_json_permissive",
+    "set_except_all", "set_intersect_all",
 ]
 
 
