@@ -116,11 +116,18 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
                     # lockers "hold" the same lock via different
                     # inodes, so before unlinking a .lock we probe
                     # it with a non-blocking flock (ADVICE r11):
-                    # acquisition proves no process holds it — even
-                    # one violating the forward-only fixture
-                    # contract — and the unlink happens while we
-                    # hold it, so no rival can have acquired this
-                    # inode in between. A held or vanished lock is
+                    # acquisition proves no process held the inode
+                    # at probe time, and an fstat/stat identity
+                    # check (ADVICE r12) proves the path still
+                    # names the inode we flocked (not a rival's
+                    # fresh replacement). Residual TOCTOU: a rival
+                    # that open()ed this stale path BEFORE our probe
+                    # can still flock the orphaned inode after our
+                    # unlink+close — unavoidable when unlinking lock
+                    # files at all, and it only bites a process
+                    # violating the forward-only fixture contract
+                    # (locking a dead generation), so practical
+                    # impact is nil. A held or vanished lock is
                     # simply left for a later GC pass.
                     try:
                         if p.endswith(".lock"):
@@ -130,7 +137,11 @@ def scratch_dir(tag: str, sf_dir: str = "") -> str:
                                 fcntl.flock(
                                     probe, fcntl.LOCK_EX | fcntl.LOCK_NB
                                 )
-                                os.unlink(p)
+                                if (
+                                    os.fstat(probe.fileno()).st_ino
+                                    == os.stat(p).st_ino
+                                ):
+                                    os.unlink(p)
                         else:
                             os.unlink(p)
                     except OSError:

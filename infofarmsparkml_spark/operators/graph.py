@@ -286,7 +286,11 @@ def _pagerank_delta_iterate(
                 )
                 .first()["md"]
             )
-            if max_delta <= tau:
+            # `md` is None when the joined frame is empty (degenerate
+            # or empty edge list — ADVICE r12): treat as "no delta
+            # evidence" and let the loop cap out instead of raising
+            # TypeError on the None comparison.
+            if max_delta is not None and max_delta <= tau:
                 ranks = new
                 break
         ranks = new

@@ -958,7 +958,7 @@ keys AS (
 
 # the adaptive-width twin (kNN join): band width is computed from
 # COUNT(*) inside the query via `_BAND_BITS_CASE_SQL`, the plane
-# pool is the full 256-row matrix filtered to the first
+# pool is the full 320-row matrix filtered to the first
 # n_bands x bits rows, and every downstream expression reads the
 # width from the `nb` CTE — the exact mirror of the Python plan
 # construction (`_adaptive_band_bits` + sliced `_SRP_W`)

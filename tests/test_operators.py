@@ -1283,6 +1283,21 @@ def test_pagerank_delta_known_answer(spark, und, expect_early):
     assert got == expect_rank, (got, expect_rank)
 
 
+def test_pagerank_delta_empty_edges_caps_out(spark):
+    """ADVICE r12: on an empty edge list the delta aggregate's MAX
+    is NULL, so `first()["md"]` is None — the guard must treat that
+    as "no delta evidence" and cap out with an empty rank vector
+    instead of raising TypeError on the None <= tau comparison."""
+    from infofarmsparkml_spark.operators.graph import (
+        _pagerank_delta_iterate,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long").localCheckpoint()
+    ranks_df, rounds_run = _pagerank_delta_iterate(edges)
+    assert ranks_df.count() == 0
+    assert rounds_run == 12  # runs to cap: no rows ever pass tau
+
+
 def test_pagerank_delta_converges_early_on_fixture(spark, sf_dir):
     """The whole point of the twin is fewer rounds than the fixed-10
     `graph_pagerank` on fast-mixing graphs: the co-purchase fixture
