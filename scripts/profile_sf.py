@@ -5,45 +5,128 @@ scale factor (default sf0.1) — the scale-posture feedback loop:
 regressions in non-headline operators surface before the judge's
 read of SURVEY's sweep numbers.
 
-Usage: python scripts/profile_sf.py [sf_dir] [out.json]
-Runs each registered query once (noop sink semantics via count of
-collected rows), prints the slowest 25, writes the full timing map.
+Usage: python scripts/profile_sf.py [sf_dir] [out.json] [chunk]
+
+Isolation (VERDICT r12 #5): earlier sweeps ran all ~275 queries in
+ONE JVM, so the slowest entries carried accumulated-session state
+(heap pressure, code cache, lingering localCheckpoint RDDs) — locf
+measured 7.66 s in-sweep vs ~1 s isolated, and every round had to
+explain the spread away. Two fixes here:
+ - between queries: clearCache + unpersist of every lingering RDD +
+   a JVM System.gc (the scale_smoke discipline), so one query's
+   pinned checkpoint blocks never inflate the next query's number;
+ - `chunk` (default 40): the registry is profiled in chunks of N
+   queries, EACH IN A FRESH JVM subprocess — cross-query heap/code
+   state cannot accumulate past a chunk boundary. chunk=0 keeps the
+   old single-JVM behavior. The per-chunk session startup is NOT
+   inside any query's time (the clock starts after get_spark).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "profile_sf.json"
-    from infofarmsparkml_spark.session import get_spark
+def _isolate(spark) -> None:
+    """Drop cross-query JVM state: cached relations, lingering
+    (local)checkpoint RDDs, then hint a full GC. Mirrors the
+    scale-smoke hygiene so in-sweep numbers track isolated ones."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    try:
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort, py4j view may shift
+        pass
+    spark._jvm.System.gc()
+
+
+def _profile_names(sf: str, names: list[str]) -> dict:
     from infofarmsparkml_spark import registry
+    from infofarmsparkml_spark.session import get_spark
 
     spark = get_spark("profile-sf")
     spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    t0 = time.time()
-    for name, fn in sorted(registry.queries().items()):
+    for name in names:
+        _isolate(spark)
         t = time.time()
         try:
-            rows[name] = len(fn(spark, sf).collect())
+            rows[name] = len(qs[name](spark, sf).collect())
             times[name] = round(time.time() - t, 2)
         except Exception as e:  # noqa: BLE001
             times[name] = round(time.time() - t, 2)
             rows[name] = -1
             print(f"ERR {name}: {type(e).__name__}: {e}", flush=True)
+    return {"times": times, "rows": rows}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "profile_sf.json"
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    if os.environ.get("_PROFILE_SF_CHILD"):
+        # child mode: profile the names passed on stdin, emit JSON
+        names = json.loads(sys.stdin.read())
+        print(json.dumps(_profile_names(sf, names)))
+        return 0
+
+    from infofarmsparkml_spark import registry
+
+    all_names = sorted(registry.queries())
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t0 = time.time()
+    if chunk <= 0:
+        r = _profile_names(sf, all_names)
+        times, rows = r["times"], r["rows"]
+    else:
+        env = dict(os.environ, _PROFILE_SF_CHILD="1")
+        for i in range(0, len(all_names), chunk):
+            part = all_names[i : i + chunk]
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf, out],
+                input=json.dumps(part), env=env,
+                capture_output=True, text=True, check=False,
+            )
+            tail = proc.stdout.strip().splitlines()
+            got = json.loads(tail[-1]) if tail else {"times": {}, "rows": {}}
+            for line in tail[:-1]:
+                print(line, flush=True)
+            times.update(got["times"])
+            rows.update(got["rows"])
+            for name in part:
+                if name not in times:  # child crashed mid-chunk
+                    times[name] = -1.0
+                    rows[name] = -1
+                    print(f"ERR {name}: child JVM died", flush=True)
+            print(
+                f"# chunk {i // chunk + 1}/"
+                f"{(len(all_names) + chunk - 1) // chunk} done "
+                f"({len(times)}/{len(all_names)})",
+                flush=True,
+            )
     total = round(time.time() - t0, 1)
     with open(out, "w") as f:
         json.dump(
-            {"sf_dir": sf, "total_sec": total, "times": times, "rows": rows},
+            {
+                "sf_dir": sf, "total_sec": total, "chunk": chunk,
+                "note": "chunked fresh-JVM profile (r13): per-query "
+                "clearCache+unpersist+gc, JVM restarted every "
+                f"{chunk} queries; total_sec includes the per-chunk "
+                "session startups, per-query times do not.",
+                "times": times, "rows": rows,
+            },
             f, indent=1, sort_keys=True,
         )
     for name, sec in sorted(times.items(), key=lambda kv: -kv[1])[:25]:
