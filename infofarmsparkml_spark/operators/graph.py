@@ -977,9 +977,22 @@ def _kcore_peel(
     r = 0
     while True:
         r += 1
+        # BROADCAST the vertex-sized alive set (r13, the same
+        # lesson as pagerank_delta's contribution vector): the
+        # per-round isEmpty action splits this loop into separate
+        # jobs, so once `alive` outgrows the 10 MB auto-broadcast
+        # threshold each round re-paid TWO full edge-set
+        # exchange+sorts (sf10 smoke: 273 s isolated, superlinear
+        # d2 18.6x). Broadcasting keeps every round a map-side hash
+        # probe of the checkpointed edges; only the vertex-sized
+        # partial-agg output ever shuffles.
         deg = (
-            edges.join(alive.withColumnRenamed("node", "src"), "src")
-            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            edges.join(
+                F.broadcast(alive.withColumnRenamed("node", "src")), "src"
+            )
+            .join(
+                F.broadcast(alive.withColumnRenamed("node", "dst")), "dst"
+            )
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import hashlib as _hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from infofarmsparkml_spark.operators._util import load_table
@@ -1132,44 +1134,66 @@ def _srp_band_keys(
     bits per band -> bigger buckets -> higher recall and more
     candidates (the near-dup detector runs a fixed 4x8; the kNN
     join 16 bands x occupancy-adaptive `_adaptive_band_bits` width).
-    Oracle twins: `_SRP_WEIGHTS_CTES` / `_SRP_WEIGHTS_ADAPTIVE_CTES`."""
-    bits = F.transform(
-        F.lit(_SRP_W[: n_bands * band_bits]),
-        lambda wr: F.aggregate(
-            F.zip_with(F.col("qv"), wr, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        > 0,
-    )
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda band: F.aggregate(
-            F.sequence(F.lit(0), F.lit(band_bits - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, pos: acc
-            + F.when(
-                F.element_at(
-                    F.col("bits"), (band * band_bits + pos + 1).cast("int")
-                ),
-                F.pow(F.lit(2.0), pos).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-    )
+    Oracle twins: `_SRP_WEIGHTS_CTES` / `_SRP_WEIGHTS_ADAPTIVE_CTES`.
+
+    r13: the projection is an Arrow-batched pandas UDF (one numpy
+    int64 matmul per batch) instead of the original Catalyst
+    higher-order-function fold. HOF lambdas are evaluated
+    interpreted, per element — n_bands*band_bits*64 lambda calls PER
+    ROW (~17k at 17 bits) made the signature pass the operator's
+    real 100-TB bottleneck (~4 ms/vector measured; the whole r12
+    sf10 smoke leg was signature-bound). The matmul computes the
+    IDENTICAL int64 dot products and bucket keys (quantized vectors
+    and weights are exact integers; |dot| <= 64*1.2e6*8 ~ 6e8, no
+    overflow), so every committed oracle hash — including the r5
+    near-dup records addressing the 32-plane prefix — is unchanged;
+    only the physical plan gains an ArrowEvalPython node upstream of
+    the (band, bkey) bucket join the plan tests pin."""
+    import numpy as _np
+    from pyspark.sql.types import ArrayType, LongType
+
+    w_t = _np.asarray(_SRP_W[: n_bands * band_bits], dtype="int64").T.copy()
+    pows = 1 << _np.arange(band_bits, dtype="int64")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _band_keys(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = _np.asarray(qv.tolist(), dtype="int64")          # (B, 64)
+        signs = ((m @ w_t) > 0).astype("int64")              # (B, P)
+        keys = signs.reshape(len(m), n_bands, band_bits) @ pows
+        return pd.Series(list(keys))
+
     return (
-        quant.select("vec_id", bits.alias("bits"))
-        .select("vec_id", F.posexplode(band_keys).alias("band", "bkey"))
+        quant.select("vec_id", _band_keys("qv").alias("bk"))
+        .select("vec_id", F.posexplode("bk").alias("band", "bkey"))
     )
 
 
 # exact integer squared distance between two quantized vectors —
-# identical fold in both engines (see oracle twin in the kNN SQL)
+# identical fold in both engines (see oracle twin in the kNN SQL).
+# r13: computed by an Arrow-batched numpy int64 subtract-square-sum
+# instead of the Catalyst higher-order fold — HOF lambdas evaluate
+# interpreted per element, and with cluster-heavy corpora the verify
+# stage's pair volume (legitimately proportional to true near-dup
+# mass) made the ~128 interpreted evals/pair the kNN join's dominant
+# cost at the sf10 smoke scale (measured: verify-bound 560 s before,
+# signature pass already vectorized). Values are bit-identical
+# (quantized ints: diff^2 <= 5.8e12, 64-term sum <= 3.7e14 — well
+# inside int64), so every committed oracle hash is unchanged.
 def _qdist(a: str, b: str) -> Column:
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    import numpy as _np
+
+    @F.pandas_udf("long")
+    def _q(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="int64")
+        ma = _np.asarray(va.tolist(), dtype="int64")
+        mb = _np.asarray(vb.tolist(), dtype="int64")
+        d = ma - mb
+        return pd.Series((d * d).sum(axis=1, dtype="int64"))
+
+    return _q(F.col(a), F.col(b))
 
 
 _KNN_QUANT_CTE = """
@@ -1189,6 +1213,91 @@ SELECT qid, nid,
        CAST(rn AS INTEGER) AS rank
 FROM ranked WHERE rn <= 5
 """
+
+
+def _knn_join_topk(
+    quant: DataFrame, n: int, query_pred: Column | None = None
+) -> DataFrame:
+    """The kNN join's core, shared by the registered query and the
+    at-scale recall harness (scripts/knn_recall_at_scale.py): banded
+    SRP-LSH candidates -> exact quantized verify -> per-query top-5.
+
+    ``query_pred`` (a Column over vec_id) restricts the QUERY side:
+    a query's top-5 depends only on its own bucket-mates, which a
+    one-sided filter on the signature table preserves exactly, so
+    the restricted result equals the full self-join's rows for the
+    selected qids (pinned by test at sf0.1) at a fraction of the
+    verify cost — the honest way to witness recall on corpora where
+    the full N^2/buckets self-join is hours of compute. With no
+    predicate, the canonical-pairs + mirror form computes each
+    symmetric distance once (half the verify work)."""
+    keys = _srp_band_keys(quant, n_bands=16, band_bits=_adaptive_band_bits(n))
+    a, b = keys.alias("a"), keys.alias("b")
+    qa = quant.select(F.col("vec_id").alias("qid"), F.col("qv").alias("va"))
+    qb = quant.select(F.col("vec_id").alias("nid"), F.col("qv").alias("vb"))
+    if query_pred is None:
+        # canonical pairs only (qid < nid): the bucket relation is
+        # symmetric, so each distance is computed ONCE and mirrored
+        # before ranking — half the verify work in both engines
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("qid"),
+                F.col("b.vec_id").alias("nid"),
+            )
+            .distinct()
+        )
+        half = (
+            cand.join(qa, "qid").join(qb, "nid")
+            .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
+        )
+        verified = half.unionByName(
+            half.select(
+                F.col("nid").alias("qid"),
+                F.col("qid").alias("nid"),
+                "qdist",
+            )
+        )
+    else:
+        cand = (
+            # the restricted query side is a few hundred signature
+            # rows — broadcast it so the corpus-sized key table is
+            # probed map-side, never sorted
+            F.broadcast(a.filter(query_pred))
+            .join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("qid"),
+                F.col("b.vec_id").alias("nid"),
+            )
+            .distinct()
+        )
+        verified = (
+            cand.join(qa, "qid").join(qb, "nid")
+            .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
+        )
+    w = W.partitionBy("qid").orderBy("qdist", "nid")
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
+            ).alias("euclidean"),
+            "rank",
+        )
+    )
 
 
 @query(
@@ -1259,50 +1368,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = emb.select(
         "vec_id", _quantize_vec("e").alias("qv")
     ).localCheckpoint()
-    keys = _srp_band_keys(quant, n_bands=16, band_bits=_adaptive_band_bits(n))
-    a, b = keys.alias("a"), keys.alias("b")
-    # canonical pairs only (qid < nid): the bucket relation is
-    # symmetric, so each distance is computed ONCE and mirrored
-    # before ranking — half the verify work in both engines
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("qid"),
-            F.col("b.vec_id").alias("nid"),
-        )
-        .distinct()
-    )
-    qa = quant.select(F.col("vec_id").alias("qid"), F.col("qv").alias("va"))
-    qb = quant.select(F.col("vec_id").alias("nid"), F.col("qv").alias("vb"))
-    half = (
-        cand.join(qa, "qid").join(qb, "nid")
-        .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
-    )
-    verified = half.unionByName(
-        half.select(
-            F.col("nid").alias("qid"),
-            F.col("qid").alias("nid"),
-            "qdist",
-        )
-    )
-    w = W.partitionBy("qid").orderBy("qdist", "nid")
-    return (
-        verified.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "qid",
-            "nid",
-            F.round(
-                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
-            ).alias("euclidean"),
-            "rank",
-        )
-    )
+    return _knn_join_topk(quant, n)
 
 
 @query(
