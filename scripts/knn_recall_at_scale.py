@@ -102,27 +102,38 @@ def exact_topk(spark, quant, qids_rows) -> set:
         import pandas as pd
 
         qids, qmat = bq.value  # (Q,), (Q, 64)
+        qn = (qmat * qmat).sum(axis=1)  # (Q,)
         for pdf in batches:
             nids = pdf["vec_id"].to_numpy(dtype="int64")
             m = np.asarray(pdf["qv"].tolist(), dtype="int64")  # (B, 64)
             if len(m) == 0:
                 continue
-            # (Q, B) exact integer squared distances
-            d = ((qmat[:, None, :] - m[None, :, :]) ** 2).sum(
-                axis=2, dtype="int64"
-            )
+            # exact int64 squared distances via the expansion
+            # |m|^2 - 2 m.q + |q|^2 — a (B, Q) matrix, never the
+            # (Q, B, 64) difference tensor (which OOM-killed the
+            # first run of this script at 32 workers x 1 GB/batch).
+            # Magnitudes: |m.q| <= 64 * (1.2e6)^2 ~ 9.2e13 — exact
+            # in int64 with room to spare.
+            mn = (m * m).sum(axis=1)  # (B,)
+            d = mn[:, None] - 2 * (m @ qmat.T) + qn[None, :]  # (B, Q)
             out_q, out_n, out_d = [], [], []
             for qi in range(len(qids)):
-                row = d[qi]
+                row = d[:, qi]
                 mask = nids != qids[qi]
                 cand_n, cand_d = nids[mask], row[mask]
                 take = min(K, len(cand_n))
                 if take == 0:
                     continue
-                idx = np.lexsort((cand_n, cand_d))[:take]
+                # exact top-K by (qdist, nid): partition to the
+                # K-th distance, then lexsort only the <=threshold
+                # subset so distance ties still break by nid
+                kth = np.partition(cand_d, take - 1)[take - 1]
+                sub = cand_d <= kth
+                sn, sd = cand_n[sub], cand_d[sub]
+                idx = np.lexsort((sn, sd))[:take]
                 out_q.extend([qids[qi]] * take)
-                out_n.extend(cand_n[idx])
-                out_d.extend(cand_d[idx])
+                out_n.extend(sn[idx])
+                out_d.extend(sd[idx])
             yield pd.DataFrame(
                 {"qid": out_q, "nid": out_n, "qdist": out_d}
             )
