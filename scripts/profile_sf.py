@@ -30,6 +30,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd  # noqa: F401 — module-global so the warmup UDF's type hints resolve
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 
@@ -54,6 +56,20 @@ def _profile_names(sf: str, names: list[str]) -> dict:
 
     spark = get_spark("profile-sf")
     spark.sparkContext.setLogLevel("ERROR")
+    # absorb fresh-JVM warmup (JIT, codegen compiler, parquet
+    # footer machinery, Python worker spawn) OUTSIDE any query's
+    # time — without this the first query of every chunk measured
+    # ~5 s of session bring-up as if it were its own cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf}/region.parquet").count()
+    from pyspark.sql import functions as _wf
+
+    @_wf.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).collect()
+
     qs = registry.queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
