@@ -361,6 +361,67 @@ def test_srp_plane_pool_prefix_is_r5_stable():
     assert digest256 == "16234308d8b182926437963694d6a78c"
 
 
+def test_vectorized_srp_and_qdist_match_reference_at_20_bits(spark):
+    """r13 moved the SRP projection and the quantized distance from
+    Catalyst higher-order folds to Arrow numpy int64 kernels. Their
+    exactness is witnessed by oracle hashes at the fixture widths
+    (4-5 bits) and by the 4.5M-vector recall artifact at 17 bits —
+    this test pins it IN CI at the full 20-bit / 320-plane geometry
+    no fixture reaches: band keys and distances from the vectorized
+    operators must equal an independent pure-Python evaluation of
+    the original fold (dot > 0 sign bits, key = sum of 2^pos; exact
+    integer arithmetic end to end)."""
+    from infofarmsparkml_spark.operators.llm import (
+        _SRP_W,
+        _qdist,
+        _srp_band_keys,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic pseudo-vectors at quantized magnitude (~2^20)
+    vecs = {
+        i: [((i * 2654435761 + j * 40503) % 2000001) - 1000000
+            for j in range(64)]
+        for i in range(40)
+    }
+    n_bands, bits = 16, 20
+    quant = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, qv array<long>"
+    )
+    got = {
+        (r.vec_id, r.band): r.bkey
+        for r in _srp_band_keys(quant, n_bands, bits).collect()
+    }
+    assert len(got) == 40 * n_bands
+    for i, v in vecs.items():
+        signs = [
+            sum(a * b for a, b in zip(v, _SRP_W[h])) > 0
+            for h in range(n_bands * bits)
+        ]
+        for band in range(n_bands):
+            key = sum(
+                1 << pos
+                for pos in range(bits)
+                if signs[band * bits + pos]
+            )
+            assert got[(i, band)] == key, (i, band)
+
+    pairs = spark.createDataFrame(
+        [(i, vecs[i], vecs[(i + 7) % 40]) for i in range(40)],
+        "i long, va array<long>, vb array<long>",
+    )
+    dist = {
+        r.i: r.d
+        for r in pairs.select("i", _qdist("va", "vb").alias("d")).collect()
+    }
+    for i in range(40):
+        ref = sum(
+            (x - y) * (x - y)
+            for x, y in zip(vecs[i], vecs[(i + 7) % 40])
+        )
+        assert dist[i] == ref, i
+
+
 def test_hash_sample_membership_partition_invariant(spark, sf_dir):
     """The md5-threshold sample's core claim (round 10): membership
     is a property of the ROW, so the selected key set is identical
