@@ -169,6 +169,155 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable-HLL geometry (A4's SQL-oracled twin, same graduation move
+# as the count-min sketch below): registers come from md5 bits so
+# DuckDB builds the bit-identical sketch. m sized so the RAW HLL
+# estimator applies at every fixture SF (no small-range linear-
+# counting branch — that needs ln(), whose last-ulp behavior is
+# libm-dependent and would break the hash gate; the `raw_regime`
+# output column pins the contract instead). Registers are 48-bit
+# windows (md5 hex chars 5-16); the harmonic-mean sum stays exact
+# int64 as sum of 2^(49-M_j), max 256 * 2^49 = 2^57; the ONLY float
+# op on either engine is the final single division by the same
+# Python-generated numerator literal, then ROUND(_, 2) — the same
+# cross-engine float contract every rounded aggregate here uses.
+_HLL_M_ORD = 256  # rsd 1.04/sqrt(256) = 6.5%; 2.5m=640 < 1081 orders@sf0.001
+_HLL_M_PART = 64  # rsd 13%; 2.5m=160 < 200 parts@sf0.001
+_HLL_NUM_ORD = (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * float(2**49)
+_HLL_NUM_PART = 0.709 * 64 * 64 * float(2**49)  # alpha_64 (HLL paper)
+_HLL_TAG_ORD, _HLL_TAG_PART = "_hllord", "_hllpart"
+
+
+def _hll_sketch_sql(col: str, m: int, num: float, tag: str) -> str:
+    """DuckDB CTE body computing the portable-HLL estimate of
+    COUNT(DISTINCT col) per l_returnflag — generated from the SAME
+    Python constants as the Spark side so the two can't drift."""
+    return f"""
+  SELECT l_returnflag,
+         ROUND({num!r} / CAST(s_part + ({m} - n_reg)
+                              * (CAST(1 AS BIGINT) << 49) AS DOUBLE),
+               2) AS est
+  FROM (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(1 AS BIGINT) << (49 - mj)) AS BIGINT) AS s_part,
+           COUNT(*) AS n_reg
+    FROM (
+      SELECT l_returnflag, j,
+             MAX(CASE WHEN w = 0 THEN 49
+                      ELSE 49 - length(bin(w)) END) AS mj
+      FROM (
+        SELECT l_returnflag,
+               CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)
+                                           || '{tag}'), 1, 4))
+                    AS BIGINT) % {m} AS j,
+               CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)
+                                           || '{tag}'), 5, 12))
+                    AS BIGINT) AS w
+        FROM lineitem) h
+      GROUP BY 1, 2) reg
+    GROUP BY 1) s
+"""
+
+
+@query(
+    "agg_hll_distinct_portable",
+    oracle=f"""
+WITH est_o AS ({_hll_sketch_sql("l_orderkey", _HLL_M_ORD, _HLL_NUM_ORD, _HLL_TAG_ORD)}),
+est_p AS ({_hll_sketch_sql("l_partkey", _HLL_M_PART, _HLL_NUM_PART, _HLL_TAG_PART)}),
+truth AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS true_orders,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS true_parts
+  FROM lineitem GROUP BY 1)
+SELECT t.l_returnflag,
+       o.est AS hll_orders, t.true_orders,
+       p.est AS hll_parts, t.true_parts,
+       CAST(CASE WHEN o.est > {2.5 * _HLL_M_ORD!r}
+                  AND p.est > {2.5 * _HLL_M_PART!r}
+            THEN 1 ELSE 0 END AS INT) AS raw_regime
+FROM truth t
+JOIN est_o o ON o.l_returnflag = t.l_returnflag
+JOIN est_p p ON p.l_returnflag = t.l_returnflag
+ORDER BY t.l_returnflag
+""",
+)
+def agg_hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 twin: HyperLogLog distinct-count you OWN — md5-derived
+    registers so the sketch is engine-portable (mergeable across
+    days/streams by register-wise MAX, re-checkable bit-identically
+    in any engine with md5 — the property the native HLL++ sketch
+    in `agg_approx_distinct` can't offer), joined against exact
+    counts so the error is visible in the result. Raw-regime
+    estimator only (see the geometry note above); `raw_regime` = 1
+    is the domain contract, pinned at every fixture SF by
+    tests/test_operators.py plus a tolerance check vs truth.
+
+    Scale: the register build is one hash aggregate keyed
+    (group, j) — fully map-side combinable, so 100 TB collapses to
+    ≤ m rows per group per partition before the exchange; the
+    harmonic sum then aggregates ≤ groups×m rows. The exact-truth
+    join is the display twin (itself two partial-aggregable
+    passes), not part of the sketch path."""
+    lf = load_table(spark, sf_dir, "lineitem")
+
+    def est(col: str, m: int, num: float, tag: str, out: str) -> DataFrame:
+        h = F.md5(F.concat(F.col(col).cast("string"), F.lit(tag)))
+        reg = (
+            lf.select(
+                "l_returnflag",
+                (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m)
+                .alias("j"),
+                F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+                .alias("w"),
+            )
+            .groupBy("l_returnflag", "j")
+            .agg(
+                F.max(
+                    F.when(F.col("w") == 0, F.lit(49)).otherwise(
+                        F.lit(49) - F.length(F.bin("w"))
+                    )
+                ).alias("mj")
+            )
+        )
+        s = reg.groupBy("l_returnflag").agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mj)")
+            ).alias("s_part"),
+            F.count(F.lit(1)).alias("n_reg"),
+        )
+        scaled = F.col("s_part") + (
+            (F.lit(m).cast("long") - F.col("n_reg")) * F.lit(2**49)
+        )
+        return s.select(
+            "l_returnflag",
+            F.round(F.lit(num) / scaled.cast("double"), 2).alias(out),
+        )
+
+    est_o = est("l_orderkey", _HLL_M_ORD, _HLL_NUM_ORD, _HLL_TAG_ORD,
+                "hll_orders")
+    est_p = est("l_partkey", _HLL_M_PART, _HLL_NUM_PART, _HLL_TAG_PART,
+                "hll_parts")
+    truth = lf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("true_orders"),
+        F.countDistinct("l_partkey").alias("true_parts"),
+    )
+    return (
+        truth.join(est_o, "l_returnflag")
+        .join(est_p, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "hll_orders", "true_orders",
+            "hll_parts", "true_parts",
+            F.when(
+                (F.col("hll_orders") > 2.5 * _HLL_M_ORD)
+                & (F.col("hll_parts") > 2.5 * _HLL_M_PART),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("raw_regime"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "agg_stats",
     oracle="""

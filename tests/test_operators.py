@@ -30,6 +30,28 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
 
 
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"], ids=["sf0.001", "sf0.01"])
+def test_hll_portable_raw_regime_and_tolerance(spark, sf_dir, sf):
+    """The portable-HLL twin (A4 graduation) is valid ONLY in the
+    raw-estimator regime (E > 2.5m; the linear-counting branch is
+    deliberately unimplemented because its ln() is not hash-portable
+    across engines). Pin raw_regime = 1 for every group at both
+    fixture SFs, and pin the estimates inside 3x the sketch rsd
+    (m=256 -> 19.5% for orders, m=64 -> 39% for parts) against the
+    exact counts the query itself carries."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), sf)
+    rows = q("agg_hll_distinct_portable")(spark, d).collect()
+    assert len(rows) == 3
+    for r_ in rows:
+        assert r_["raw_regime"] == 1, r_
+        err_o = abs(r_["hll_orders"] - r_["true_orders"]) / r_["true_orders"]
+        err_p = abs(r_["hll_parts"] - r_["true_parts"]) / r_["true_parts"]
+        assert err_o < 3 * 1.04 / 16, (r_, err_o)
+        assert err_p < 3 * 1.04 / 8, (r_, err_p)
+
+
 def test_approx_percentile_tolerance(spark, sf_dir):
     approx = {
         r["l_returnflag"]: r["approx_median"]
