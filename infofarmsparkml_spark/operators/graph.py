@@ -985,7 +985,12 @@ def _kcore_peel(
         # exchange+sorts (sf10 smoke: 273 s isolated, superlinear
         # d2 18.6x). Broadcasting keeps every round a map-side hash
         # probe of the checkpointed edges; only the vertex-sized
-        # partial-agg output ever shuffles.
+        # partial-agg output ever shuffles. Same memory bound as
+        # the pagerank-delta vector: valid while the alive set fits
+        # driver/executor memory (~1e8 nodes; Spark hard-caps
+        # broadcasts at 8 GB) — past that, persist edges bucketed
+        # by src/dst so a shuffled-hash join needs no per-round
+        # edge exchange instead of hinting broadcast.
         deg = (
             edges.join(
                 F.broadcast(alive.withColumnRenamed("node", "src")), "src"

@@ -1181,6 +1181,10 @@ def _srp_band_keys(
 # signature pass already vectorized). Values are bit-identical
 # (quantized ints: diff^2 <= 5.8e12, 64-term sum <= 3.7e14 — well
 # inside int64), so every committed oracle hash is unchanged.
+# PRECONDITION: both columns non-null (every call site feeds inner
+# joins on quantized vectors). A null element would raise in the
+# Arrow worker where the old Catalyst fold yielded NULL — callers
+# introducing outer joins must coalesce or filter first.
 def _qdist(a: str, b: str) -> Column:
     import numpy as _np
 

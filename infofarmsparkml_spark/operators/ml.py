@@ -730,7 +730,11 @@ def ml_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = FPGrowth(itemsCol="items", minSupport=0.005, minConfidence=0.2)
     model = fp.fit(baskets)
-    fi = model.freqItemsets
+    # localCheckpoint: freqItemsets is NOT persisted by the fit, so
+    # the depth-guard action below and the caller's collect would
+    # each re-run the whole mining (the dominant cost at minSupport
+    # 0.005) — observed as a 2x on this query's profile time.
+    fi = model.freqItemsets.localCheckpoint()
     max_k = fi.agg(F.max(F.size("items"))).first()[0]
     if max_k is not None and max_k > 3:
         raise ValueError(

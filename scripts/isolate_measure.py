@@ -6,7 +6,7 @@ swings same-code sf10 legs up to ~3x (SCALE_SMOKE_r12 notes), so any
 ratio worth a verdict gets re-measured in its own process.
 
 Usage: python scripts/isolate_measure.py <query_name> <sf_dir>
-Prints one JSON line: {op, sf_dir, warm_sec, op_sec, rows_estimate}.
+Prints one JSON line: {op, sf_dir, warm_sec, op_sec, loadavg_1m}.
 
 The co-purchase edge scratch (shared by every graph op) is warmed
 first via graph_degree and timed separately, so the measured op never

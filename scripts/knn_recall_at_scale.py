@@ -59,7 +59,19 @@ def build_fixture(spark) -> None:
 
     out = f"{D}/embeddings.parquet"
     if os.path.exists(out):
-        return
+        # A killed prior run can leave a partial part-file set, and
+        # edited N/MEMBERS/DIMS silently change what the artifact
+        # measures — validate the reuse instead of trusting the path.
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:
+            n = -1
+        if n == N:
+            return
+        print(f"# stale fixture at {out} (rows={n}, want {N}): rebuilding")
+        import shutil
+
+        shutil.rmtree(D, ignore_errors=True)
     os.makedirs(D, exist_ok=True)
 
     def gen(batches):

@@ -116,7 +116,15 @@ def main() -> int:
                 capture_output=True, text=True, check=False,
             )
             tail = proc.stdout.strip().splitlines()
-            got = json.loads(tail[-1]) if tail else {"times": {}, "rows": {}}
+            # A child killed mid-chunk (OOM — the very case chunking
+            # exists for) can leave a partial/non-JSON last line;
+            # fall through to the per-name "child JVM died" marks
+            # below instead of aborting and losing finished chunks.
+            try:
+                got = json.loads(tail[-1]) if tail else {"times": {}, "rows": {}}
+            except json.JSONDecodeError:
+                got = {"times": {}, "rows": {}}
+                tail.append("")  # keep the raw line visible below
             for line in tail[:-1]:
                 print(line, flush=True)
             times.update(got["times"])
