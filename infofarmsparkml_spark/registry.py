@@ -95,7 +95,11 @@ _PRIORITY: list[str] = [
     "sort_multi", "set_union_all", "dropdup_deterministic", "udf_plain",
     "er_sorted_neighborhood",
     # ---- position 51+: round-14 queue (not in this round's slate) --
-    # remaining r4 tpch tail, then the r5 curation/windows cohort
+    # the round-13 newcomer first (zero driver rows — the same
+    # never-witnessed-leads rule that put pagerank_delta at slot 6),
+    # then the remaining r4 tpch tail and the r5 curation/windows
+    # cohort
+    "agg_hll_distinct_portable",
     "tpch_q13", "tpch_q15", "tpch_q2", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q22", "fn_url", "fn_fuzzy_match", "fn_pseudonymize",
     "agg_mode", "dq_expectations", "etl_incremental_agg",
