@@ -144,9 +144,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
     d = 0.85
     for i in range(10):
+        # SHUFFLE_MERGE pins the twin's blessed shape explicitly
+        # (r13): it was already the un-hinted plan at sf1/sf10 —
+        # the one the r12 smoke measured 2.5x better than
+        # SHUFFLE_HASH — but near the fixture boundary the edge
+        # scratch's ~10 MB file-size estimate let the planner flip
+        # the BUILD side to the edge table itself in rounds >= 2
+        # (checkpoint-preserved stats inflate the rank side), which
+        # OOMs a default-memory driver. A fact-table build side
+        # must be impossible by construction, not by estimate.
         contribs = (
-            edges.join(ranks, "src")
-            .join(out_deg, "src")
+            edges.hint("shuffle_merge")
+            .join(ranks, "src")
+            .join(out_deg.hint("shuffle_merge"), "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
         )
         ranks = (
@@ -565,8 +575,13 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seed.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
     frontier = visited.select("node")
     for lvl in range(1, 5):
+        # broadcast the frontier (vertex-bounded; see the LPA loop
+        # note — the edge side must never become the build side on
+        # a near-threshold file-size estimate)
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            F.broadcast(frontier).join(
+                edges, frontier["node"] == edges["src"]
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -654,8 +669,10 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(4):
+        # broadcast the distance vector (vertex-bounded; see the
+        # LPA loop note on the near-threshold edge estimate)
         relax = (
-            dist.join(edges, dist["node"] == edges["src"])
+            F.broadcast(dist).join(edges, dist["node"] == edges["src"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("d") + F.col("cost")).alias("d"),
@@ -730,8 +747,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
     )
     for _ in range(3):
+        # BROADCAST the vertex-sized label vector (kcore/pagerank-
+        # delta treatment, made mandatory in r13): the per-round
+        # checkpoints preserve source stats, and the sf0.1 edge
+        # scratch's file-size estimate sits ~2% UNDER the 10 MB
+        # auto-broadcast threshold — so in rounds >= 2, where the
+        # label side carries an inflated join-output estimate, the
+        # planner flipped the build side to the 2.39M-row EDGE
+        # table and OOM'd a default-memory driver (the build side
+        # of a fact-table join must never ride on a file-size
+        # coin-flip). Same ~1e8-vertex memory bound as kcore.
         nbr_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
