@@ -135,28 +135,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoke: forcing SHUFFLE_HASH on the rank side, which looked
     sort-free on paper, broke that reuse and measured 2.5x SLOWER at
     sf1/sf10; the un-hinted plan holds both decade ratios <= ~6."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(F.col("src"))
-        .localCheckpoint()
+    edges_raw = _copurchase_edges(spark, sf_dir)
+    # planner's own file-size estimate for the edge scan (no job)
+    edge_est = int(
+        edges_raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
+    edges = edges_raw.repartition(F.col("src")).localCheckpoint()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
     d = 0.85
+    # The edge table must never be a broadcast BUILD side (r13):
+    # its scratch file-size estimate can land just under the 10 MB
+    # auto-broadcast threshold (part-file layout varies with writer
+    # parallelism), and since localCheckpoint preserves stats while
+    # per-round rank frames carry inflated join-output estimates,
+    # rounds >= 2 then statically build the 2.39M-row edge side and
+    # OOM a default-memory driver. When the edge estimate is inside
+    # broadcast range we therefore say the build side explicitly —
+    # the vertex-sized vectors, the same plan AQE picks at runtime
+    # anyway (a blanket SHUFFLE_MERGE hint instead measured 3x
+    # slower here: hints also block AQE's vertex-side broadcast
+    # conversion). Past broadcast range no side is statically
+    # buildable and the un-hinted single-DAG ReusedExchange shape —
+    # the one the r12 smoke measured 2.5x better than SHUFFLE_HASH
+    # at sf1/sf10 — stands untouched.
+    edge_in_bcast_range = edge_est < 3 * 10 * 1024 * 1024
+    pick = F.broadcast if edge_in_bcast_range else (lambda df: df)
     for i in range(10):
-        # SHUFFLE_MERGE pins the twin's blessed shape explicitly
-        # (r13): it was already the un-hinted plan at sf1/sf10 —
-        # the one the r12 smoke measured 2.5x better than
-        # SHUFFLE_HASH — but near the fixture boundary the edge
-        # scratch's ~10 MB file-size estimate let the planner flip
-        # the BUILD side to the edge table itself in rounds >= 2
-        # (checkpoint-preserved stats inflate the rank side), which
-        # OOMs a default-memory driver. A fact-table build side
-        # must be impossible by construction, not by estimate.
         contribs = (
-            edges.hint("shuffle_merge")
-            .join(ranks, "src")
-            .join(out_deg.hint("shuffle_merge"), "src")
+            edges.join(pick(ranks), "src")
+            .join(pick(out_deg), "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
         )
         ranks = (

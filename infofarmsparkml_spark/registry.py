@@ -59,15 +59,13 @@ def _load_all_operator_modules() -> None:
 # the registry in iteration order. Slate hygiene (VERDICT r2-r5):
 # failed queries go first next round; after r9 every registered
 # query has a driver row and 0 ever failed, so rotation targets
-# WITNESS RECENCY. The round-11 slate (VERDICT r10 #1 ask) = the 5
-# proven-green SENTINELS (canaries for environment drift like round
-# 2's events.ts break — one per major subsystem: agg/window/
-# streaming/json/asof), then the round-11 queue staged at 51+ last
-# round (the remaining r1/r2-era re-witnesses: filters, outer
-# joins, set ops, windows, TPC-H q8/q18, scan/DPP plans), topped up
-# with the next-stalest r2-era rows. Proposal computed mechanically
-# by scripts/rotate_slate.py from CORRECTNESS_r*.json history.
-# Positions 51+ pre-queue round 12 (r2-era functions/windows tail).
+# WITNESS RECENCY (never-witnessed queries lead): each round's
+# slate = the 5 proven-green SENTINELS (canaries for environment
+# drift like round 2's events.ts break — one per major subsystem:
+# agg/window/streaming/json/asof), then the stalest-witness-first
+# queue computed mechanically by scripts/rotate_slate.py from
+# CORRECTNESS_r*.json history. Positions 51+ pre-queue the NEXT
+# round (per-section comments below date each cohort).
 _PRIORITY: list[str] = [
     # sentinels (driver-PASS every round r1-r12; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
