@@ -63,6 +63,54 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('10485760b', '10MB',
+    '-1') to bytes; negative means auto-broadcast disabled."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
+def _fact_in_broadcast_range(spark: SparkSession, df: DataFrame) -> bool:
+    """True when the planner could statically pick ``df`` — a FACT
+    table (e.g. the co-purchase edge list) — as a broadcast build
+    side: its own plan estimate is within a 3x safety factor of the
+    SESSION's auto-broadcast threshold. Why callers care (the r13
+    lesson): a scratch-backed fact table whose file-size estimate
+    flirts with the threshold makes implicit build-side selection a
+    coin-flip across rebuilds (part-file layout varies with writer
+    parallelism), and the wrong outcome deserializes millions of
+    rows into a bounded driver. Consumers joining such a table in a
+    loop must state the build side explicitly while this returns
+    True. Reads the session threshold so raised thresholds keep the
+    guard honest; threshold <= 0 disables auto-broadcast entirely
+    (guard moot); an unavailable estimate (Spark Connect exposes no
+    _jdf) returns True — the safe default is an explicit vertex-
+    side build."""
+    try:
+        thr = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:
+        return False
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True
+    return est < 3 * thr
+
+
 @query(
     "graph_degree",
     oracle="""
@@ -136,31 +184,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-free on paper, broke that reuse and measured 2.5x SLOWER at
     sf1/sf10; the un-hinted plan holds both decade ratios <= ~6."""
     edges_raw = _copurchase_edges(spark, sf_dir)
-    # planner's own file-size estimate for the edge scan (no job)
-    edge_est = int(
-        edges_raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
     edges = edges_raw.repartition(F.col("src")).localCheckpoint()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
     d = 0.85
     # The edge table must never be a broadcast BUILD side (r13):
-    # its scratch file-size estimate can land just under the 10 MB
+    # its scratch file-size estimate can land just under the
     # auto-broadcast threshold (part-file layout varies with writer
     # parallelism), and since localCheckpoint preserves stats while
     # per-round rank frames carry inflated join-output estimates,
     # rounds >= 2 then statically build the 2.39M-row edge side and
     # OOM a default-memory driver. When the edge estimate is inside
-    # broadcast range we therefore say the build side explicitly —
-    # the vertex-sized vectors, the same plan AQE picks at runtime
-    # anyway (a blanket SHUFFLE_MERGE hint instead measured 3x
-    # slower here: hints also block AQE's vertex-side broadcast
-    # conversion). Past broadcast range no side is statically
-    # buildable and the un-hinted single-DAG ReusedExchange shape —
-    # the one the r12 smoke measured 2.5x better than SHUFFLE_HASH
-    # at sf1/sf10 — stands untouched.
-    edge_in_bcast_range = edge_est < 3 * 10 * 1024 * 1024
-    pick = F.broadcast if edge_in_bcast_range else (lambda df: df)
+    # broadcast range (_fact_in_broadcast_range reads the SESSION
+    # threshold, not a hardcoded default) we say the build side
+    # explicitly — the vertex-sized vectors, the same plan AQE
+    # picks at runtime anyway (a blanket SHUFFLE_MERGE hint instead
+    # measured 3x slower here: hints also block AQE's vertex-side
+    # broadcast conversion). Past broadcast range no side is
+    # statically buildable and the un-hinted single-DAG
+    # ReusedExchange shape — the one the r12 smoke measured 2.5x
+    # better than SHUFFLE_HASH at sf1/sf10 — stands untouched.
+    pick = (
+        F.broadcast
+        if _fact_in_broadcast_range(spark, edges_raw)
+        else (lambda df: df)
+    )
     for i in range(10):
         contribs = (
             edges.join(pick(ranks), "src")

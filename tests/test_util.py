@@ -327,3 +327,43 @@ def test_rotate_slate_policy(tmp_path, monkeypatch):
     assert hist["b"] == (3, True)   # rows-only ran clean
     assert hist["c"] == (7, False)  # latest round wins; mismatch = fail
     assert hist["d"] == (7, False)  # real error = fail
+
+
+def test_parse_size_bytes_spark_conf_forms():
+    """_parse_size_bytes must accept every form Spark hands back for
+    spark.sql.autoBroadcastJoinThreshold: raw-byte strings with the
+    trailing 'b' ('10485760b', the default's repr), unit suffixes a
+    user may set ('10MB', '100m', '1g'), and '-1' (auto-broadcast
+    disabled, negative passthrough)."""
+    from infofarmsparkml_spark.operators.graph import _parse_size_bytes
+
+    assert _parse_size_bytes("10485760b") == 10 * 1024 * 1024
+    assert _parse_size_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_size_bytes("100m") == 100 * 1024 * 1024
+    assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("512k") == 512 * 1024
+    assert _parse_size_bytes("-1") == -1
+    assert _parse_size_bytes("0") == 0
+
+
+def test_fact_in_broadcast_range_tracks_session_threshold(spark, sf_dir):
+    """The build-side guard must read the SESSION threshold, not a
+    hardcoded default (review r13): with auto-broadcast disabled
+    (-1) the coin-flip cannot exist and the guard must stand down;
+    with a threshold far above the fixture edge estimate it must
+    engage. Restores the conf afterwards."""
+    from infofarmsparkml_spark.operators.graph import (
+        _copurchase_edges,
+        _fact_in_broadcast_range,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        assert _fact_in_broadcast_range(spark, edges) is False
+        spark.conf.set(key, "1g")
+        assert _fact_in_broadcast_range(spark, edges) is True
+    finally:
+        spark.conf.set(key, orig)
