@@ -742,6 +742,133 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.unionByName(overall)
 
 
+# Register-table CTE shared by the portable sketch-union oracle:
+# one (group, register) table of md5-derived rank maxima — the SAME
+# geometry, tag and 48-bit window as `agg_hll_distinct_portable`'s
+# parts sketch, so the registers here are the bit-identical values
+# already pinned stable at every fixture SF.
+_HLL_UNION_REG_SQL = f"""
+  SELECT l_returnflag, j,
+         MAX(CASE WHEN w = 0 THEN 49
+                  ELSE 49 - length(bin(w)) END) AS mj
+  FROM (
+    SELECT l_returnflag,
+           CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)
+                                       || '{_HLL_TAG_PART}'), 1, 4))
+                AS BIGINT) % {_HLL_M_PART} AS j,
+           CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)
+                                       || '{_HLL_TAG_PART}'), 5, 12))
+                AS BIGINT) AS w
+    FROM lineitem) h
+  GROUP BY 1, 2
+"""
+
+_HLL_UNION_EST_SQL = f"""ROUND({_HLL_NUM_PART!r}
+        / CAST(s_part + ({_HLL_M_PART} - n_reg)
+               * (CAST(1 AS BIGINT) << 49) AS DOUBLE), 2)"""
+
+
+@query(
+    "agg_hll_sketch_union_portable",
+    oracle=f"""
+WITH reg AS ({_HLL_UNION_REG_SQL}),
+per AS (
+  SELECT l_returnflag, {_HLL_UNION_EST_SQL} AS hll_parts
+  FROM (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(1 AS BIGINT) << (49 - mj)) AS BIGINT) AS s_part,
+           COUNT(*) AS n_reg
+    FROM reg GROUP BY 1) s),
+ureg AS (SELECT j, MAX(mj) AS mj FROM reg GROUP BY 1),
+uest AS (
+  SELECT {_HLL_UNION_EST_SQL} AS hll_parts
+  FROM (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - mj)) AS BIGINT) AS s_part,
+           COUNT(*) AS n_reg
+    FROM ureg) s),
+exact AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts
+  FROM lineitem GROUP BY 1)
+SELECT p.l_returnflag, p.hll_parts, e.exact_distinct_parts
+FROM per p JOIN exact e USING (l_returnflag)
+UNION ALL
+SELECT 'ALL' AS l_returnflag, hll_parts,
+       CAST(NULL AS BIGINT) AS exact_distinct_parts
+FROM uest
+""",
+)
+def agg_hll_sketch_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_hll_sketch_union`'s SQL-hash-oracled twin (VERDICT r13
+    #3, the same graduation move as `agg_hll_distinct_portable`):
+    per-group md5-register HLL sketches of l_partkey are MERGED into
+    a corpus-wide estimate by register-wise MAX — the mergeable-
+    sketch rollup pattern demonstrated end-to-end with engine-
+    portable arithmetic, so BOTH the per-group estimates and the
+    union estimate hash-match DuckDB bit-for-bit (the property the
+    native DataSketches binary in the twin op can't offer; that op
+    stays registered as the Spark-API ground truth).
+
+    The union is computed FROM the per-group register table, never
+    by re-scanning the data with a coarser grouping — at 100 TB the
+    register build is one map-side-combinable hash aggregate keyed
+    (group, j) collapsing to ≤ m rows per group per partition before
+    the exchange, and every rollup after it (per-day → monthly →
+    global) touches only ≤ groups×m register rows. Geometry, tag and
+    estimator contract are `_HLL_M_PART`'s (raw-regime only; see the
+    note above `_HLL_M_ORD`); the exact per-group distinct count
+    rides along for error visibility, NULL on the union row (exact
+    union would need the re-scan the sketch exists to avoid)."""
+    lf = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat(F.col("l_partkey").cast("string"), F.lit(_HLL_TAG_PART))
+    )
+    # localCheckpoint: the tiny register table (≤ groups×m rows)
+    # feeds BOTH the per-group estimates and the union rollup — two
+    # consumers that would otherwise each re-run the corpus-wide
+    # register aggregate.
+    reg = (
+        lf.select(
+            "l_returnflag",
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % _HLL_M_PART).alias("j"),
+            F.conv(F.substring(h, 5, 12), 16, 10).cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "j")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(49)).otherwise(
+                    F.lit(49) - F.length(F.bin("w"))
+                )
+            ).alias("mj")
+        )
+        .localCheckpoint()
+    )
+
+    scaled = F.col("s_part") + (
+        (F.lit(_HLL_M_PART).cast("long") - F.col("n_reg")) * F.lit(2**49)
+    )
+    est = F.round(
+        F.lit(_HLL_NUM_PART) / scaled.cast("double"), 2
+    ).alias("hll_parts")
+    sums = [
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - mj)")).alias("s_part"),
+        F.count(F.lit(1)).alias("n_reg"),
+    ]
+    per = reg.groupBy("l_returnflag").agg(*sums).select("l_returnflag", est)
+    # register-wise MAX: the sketch-union operation itself
+    ureg = reg.groupBy("j").agg(F.max("mj").alias("mj"))
+    overall = ureg.agg(*sums).select(
+        F.lit("ALL").alias("l_returnflag"),
+        est,
+        F.lit(None).cast("long").alias("exact_distinct_parts"),
+    )
+    exact = lf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct_parts")
+    )
+    return per.join(exact, "l_returnflag").unionByName(overall)
+
+
 @query(
     "agg_mode",
     oracle="""

@@ -99,7 +99,20 @@ def _fact_in_broadcast_range(spark: SparkSession, df: DataFrame) -> bool:
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         )
     except Exception:
-        thr = 10 * 1024 * 1024
+        # Unreadable/unparseable threshold: guessing a default here
+        # would re-create the very coin-flip this guard exists to
+        # prevent (ADVICE r13) — the guess can disagree with the
+        # session's real threshold. Warn and return the same safe
+        # answer as the missing-estimate case below: pin the
+        # vertex-side build explicitly.
+        import warnings
+
+        warnings.warn(
+            "autoBroadcastJoinThreshold unreadable; pinning explicit "
+            "vertex-side build (safe default)",
+            stacklevel=2,
+        )
+        return True
     if thr <= 0:
         return False
     try:
@@ -621,21 +634,28 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan does not grow with depth — same iteration discipline as
     `graph_pagerank`, including the src-partitioned edge checkpoint
     (every level's frontier join reuses it; only frontiers move)."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(F.col("src"))
-        .localCheckpoint()
+    edges_raw = _copurchase_edges(spark, sf_dir)
+    edges = edges_raw.repartition(F.col("src")).localCheckpoint()
+    # same guarded build-side pin as graph_pagerank (ADVICE r13):
+    # inside broadcast range the frontier build is stated explicitly
+    # (the edge side must never become the build side on a
+    # near-threshold file-size estimate); PAST broadcast range the
+    # hint is withheld — an unconditional hint would override a
+    # session that disabled auto-broadcast and, past ~1e8 vertices,
+    # hit Spark's 8 GB broadcast hard cap where the un-hinted plan
+    # lets AQE fall back to a shuffle join.
+    pick = (
+        F.broadcast
+        if _fact_in_broadcast_range(spark, edges_raw)
+        else (lambda df: df)
     )
     lf = load_table(spark, sf_dir, "lineitem")
     seed = lf.agg(F.min("l_partkey").alias("node"))
     visited = seed.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
     frontier = visited.select("node")
     for lvl in range(1, 5):
-        # broadcast the frontier (vertex-bounded; see the LPA loop
-        # note — the edge side must never become the build side on
-        # a near-threshold file-size estimate)
         nxt = (
-            F.broadcast(frontier).join(
+            pick(frontier).join(
                 edges, frontier["node"] == edges["src"]
             )
             .select(F.col("dst").alias("node"))
@@ -719,16 +739,23 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("src"))
         .localCheckpoint()
     )
+    # guarded build-side pin for the distance-vector joins — the
+    # graph_pagerank/graph_bfs discipline (ADVICE r13): explicit
+    # vertex-side broadcast only while the edge estimate is inside
+    # broadcast range; past it, leave AQE unhinted.
+    pick = (
+        F.broadcast
+        if _fact_in_broadcast_range(spark, edges)
+        else (lambda df: df)
+    )
     dist = (
         lf.agg(F.min("l_partkey").alias("node"))
         .withColumn("d", F.lit(0).cast("long"))
         .localCheckpoint()
     )
     for _ in range(4):
-        # broadcast the distance vector (vertex-bounded; see the
-        # LPA loop note on the near-threshold edge estimate)
         relax = (
-            F.broadcast(dist).join(edges, dist["node"] == edges["src"])
+            pick(dist).join(edges, dist["node"] == edges["src"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("d") + F.col("cost")).alias("d"),
@@ -792,29 +819,34 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves — one join + one aggregate shuffled on the node key, and
     per-round localCheckpoint keeps the plan from growing with
     iteration count."""
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition(F.col("src"))
-        .localCheckpoint()
-    )
+    edges_raw = _copurchase_edges(spark, sf_dir)
+    edges = edges_raw.repartition(F.col("src")).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # BROADCAST the vertex-sized label vector while the edge
+    # estimate is in broadcast range (kcore/pagerank-delta
+    # treatment, made mandatory in r13): the per-round checkpoints
+    # preserve source stats, and the sf0.1 edge scratch's file-size
+    # estimate sits ~2% UNDER the 10 MB auto-broadcast threshold —
+    # so in rounds >= 2, where the label side carries an inflated
+    # join-output estimate, the planner flipped the build side to
+    # the 2.39M-row EDGE table and OOM'd a default-memory driver
+    # (the build side of a fact-table join must never ride on a
+    # file-size coin-flip). Past broadcast range the hint is
+    # withheld (ADVICE r13): no side is statically buildable, and
+    # an unconditional hint would override a disabled-auto-broadcast
+    # session and hit the 8 GB broadcast cap past ~1e8 vertices.
+    pick = (
+        F.broadcast
+        if _fact_in_broadcast_range(spark, edges_raw)
+        else (lambda df: df)
+    )
     for _ in range(3):
-        # BROADCAST the vertex-sized label vector (kcore/pagerank-
-        # delta treatment, made mandatory in r13): the per-round
-        # checkpoints preserve source stats, and the sf0.1 edge
-        # scratch's file-size estimate sits ~2% UNDER the 10 MB
-        # auto-broadcast threshold — so in rounds >= 2, where the
-        # label side carries an inflated join-output estimate, the
-        # planner flipped the build side to the 2.39M-row EDGE
-        # table and OOM'd a default-memory driver (the build side
-        # of a fact-table join must never ride on a file-size
-        # coin-flip). Same ~1e8-vertex memory bound as kcore.
         nbr_min = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            edges.join(pick(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )

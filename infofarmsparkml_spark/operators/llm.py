@@ -56,6 +56,68 @@ _MINHASH_BANDS = 3
 _MINHASH_ROWS = 8
 
 
+def _minhash_sig_long(tok_sets: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) banded-MinHash bucket keys from token
+    sets — the signature half of `llm_minhash_lsh_dedup`, extracted
+    (r14, pure code motion) so diagnostics can count bucket/
+    candidate volume with the operator's OWN construction instead
+    of a drift-prone copy (scripts/pair_mass_diag.py).
+
+    Unpivots the band keys to long form and lets callers self-join
+    ONCE on (band, bk) instead of one self-join per band over the
+    wide frame. The per-band branch form let Catalyst column-prune
+    the signature aggregate into b separate 8-min aggregates — 2b
+    full explode+shuffle passes over the token stream (observed in
+    the executedPlan, r4). The explode below consumes every band
+    key, so all b×r mins materialize in ONE aggregate, and two join
+    sides built from this frame canonicalize to the same subplan
+    (exchange reuse). Candidates still arise inside buckets only; a
+    pair matching in several bands dedupes in the caller's distinct."""
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    sig = (
+        tok_sets.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("token"), F.lit(f"_{i}"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"h{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"h{b * _MINHASH_ROWS + j}")
+                                    for j in range(_MINHASH_ROWS)
+                                ],
+                            )
+                        ).alias("bk"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+
+
 @query(
     "llm_minhash_lsh_dedup",
     oracle="""
@@ -137,60 +199,7 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_sets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     ).localCheckpoint()
-    k = _MINHASH_BANDS * _MINHASH_ROWS
-    sig = (
-        tok_sets.select("doc_id", F.explode("toks").alias("token"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.col("token"), F.lit(f"_{i}"))),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                ).alias(f"h{i}")
-                for i in range(k)
-            ]
-        )
-    )
-    # Unpivot the band keys to long form (doc_id, band, bk) and
-    # self-join ONCE on (band, bk) instead of one self-join per
-    # band over the wide frame. The per-band branch form let
-    # Catalyst column-prune the signature aggregate into b separate
-    # 8-min aggregates — 2b full explode+shuffle passes over the
-    # token stream (observed in the executedPlan, r4). The explode
-    # below consumes every band key, so all b×r mins materialize in
-    # ONE aggregate, and the two join sides canonicalize to the
-    # same subplan (exchange reuse). Candidates still arise inside
-    # buckets only; a pair matching in several bands dedupes in the
-    # same distinct as before.
-    sig_long = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"h{b * _MINHASH_ROWS + j}")
-                                    for j in range(_MINHASH_ROWS)
-                                ],
-                            )
-                        ).alias("bk"),
-                    )
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
+    sig_long = _minhash_sig_long(tok_sets)
     left = sig_long.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     right = sig_long.select(F.col("doc_id").alias("doc_b"), "band", "bk")
     cand = (

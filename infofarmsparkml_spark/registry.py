@@ -67,48 +67,56 @@ def _load_all_operator_modules() -> None:
 # CORRECTNESS_r*.json history. Positions 51+ pre-queue the NEXT
 # round (per-section comments below date each cohort).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r12; re-run each round)
+    # sentinels (driver-PASS every round r1-r13; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-13 slate (VERDICT r12 ask #1): graph_pagerank_delta first
-    # — the only registered query with no driver CORRECTNESS row —
-    # then the stalest surviving hashes per scripts/rotate_slate.py:
-    # the 8 r3-era rows, the r4-era scan/sink/sql/tpch cohort (incl.
-    # S1-S4, ml_eval/ml_scaler_pca, llm_multimodal_join/
-    # llm_quality_filter/llm_incremental_dedup named by the verdict),
-    # and the 5 r5-era names the verdict called out explicitly
-    # (sort_multi, set_union_all, dropdup_deterministic, udf_plain,
-    # er_sorted_neighborhood).
-    "graph_pagerank_delta", "win_sessionize", "events_funnel",
-    "events_retention", "tpch_q5", "tpch_q10", "tpch_q7", "tpch_q17",
-    "fn_variant", "graph_bfs", "llm_multimodal_join", "llm_quality_filter",
-    "llm_incremental_dedup", "llm_quality_scorecard", "ml_eval",
-    "ml_scaler_pca", "scan_parquet", "scan_csv", "scan_json_lines",
-    "sink_parquet", "sink_bucketed", "sink_csv_roundtrip",
-    "etl_compact_small_files", "sink_zorder", "scan_schema_evolution",
-    "etl_partition_overwrite", "scan_orc", "scan_text", "sql_scalar_subquery",
-    "sql_exists_in", "sql_cte", "sql_lateral_view", "sql_lateral_join",
-    "sql_not_in_null_aware", "ts_resample_ohlc", "ts_anomaly_zscore",
-    "tpch_q4", "tpch_q14", "tpch_q19", "tpch_q12",
-    "sort_multi", "set_union_all", "dropdup_deterministic", "udf_plain",
-    "er_sorted_neighborhood",
-    # ---- position 51+: round-14 queue (not in this round's slate) --
-    # the round-13 newcomer first (zero driver rows — the same
-    # never-witnessed-leads rule that put pagerank_delta at slot 6),
-    # then the remaining r4 tpch tail and the r5 curation/windows
-    # cohort
-    "agg_hll_distinct_portable",
+    # round-14 slate (VERDICT r13 ask #1). Never-witnessed first:
+    # the r14 newcomer (portable sketch-union twin) and the r13
+    # newcomer agg_hll_distinct_portable (the only query of 276
+    # without a driver row); then ml_fpgrowth (latest driver row is
+    # r10 `no_oracle`, BEFORE its r13 SQL-oracle graduation — this
+    # row makes the graduation real in the driver record); then the
+    # verdict-named staleness/changed-form cohort — the r9 trio
+    # (stream_watermark_late; minhash/knn, which also changed form
+    # in the r13 SRP vectorization), the r10 block (J1-J3/J9, A1/
+    # A6/A8, L1/L3/L4, sample_hash_deterministic), and the three
+    # iterative graph ops whose build-side hints became guarded
+    # this round (ADVICE r13: bfs/sssp/lpa now share pagerank's
+    # _fact_in_broadcast_range pick).
+    "agg_hll_sketch_union_portable", "agg_hll_distinct_portable",
+    "ml_fpgrowth",
+    "stream_watermark_late", "llm_minhash_lsh_dedup", "llm_knn_join",
+    "join_inner_hash", "join_broadcast", "join_sortmerge",
+    "join_range_interval", "agg_hash_global", "agg_percentile",
+    "agg_grouping_sets", "llm_exact_dedup", "llm_dedup_components",
+    "llm_cosine_topk", "sample_hash_deterministic",
+    "graph_bfs", "graph_sssp_weighted", "graph_label_propagation",
+    # remaining slots: the stalest-witness-first queue computed by
+    # scripts/rotate_slate.py (the r4 tpch tail + r5 curation
+    # cohort pre-queued by r13)
     "tpch_q13", "tpch_q15", "tpch_q2", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q22", "fn_url", "fn_fuzzy_match", "fn_pseudonymize",
     "agg_mode", "dq_expectations", "etl_incremental_agg",
-    "dq_referential_integrity", "etl_snapshot_diff", "graph_sssp_weighted",
+    "dq_referential_integrity", "etl_snapshot_diff",
     "llm_token_count", "llm_ngram_jaccard", "llm_simhash_pairs",
     "llm_embedding_neardup", "llm_doc_pack", "llm_pii_scrub",
     "llm_chunk_sliding", "llm_ngram_containment", "llm_bigram_logprob",
-    "llm_vocab_coverage", "join_spatial_grid", "mm_resize_ppm",
-    "mm_frame_sample", "sort_range_partitioned", "events_attribution",
-    "win_pattern_match", "events_rfm", "scan_json_permissive",
-    "set_except_all", "set_intersect_all",
+    "llm_vocab_coverage",
+    # ---- position 51+: round-15 queue (not in this round's slate) --
+    # the rest of the r4/r5-era cohort, then the next-stalest r9
+    # block per scripts/rotate_slate.py
+    "join_spatial_grid", "mm_resize_ppm", "mm_frame_sample",
+    "sort_range_partitioned", "events_attribution", "win_pattern_match",
+    "events_rfm", "scan_json_permissive", "set_except_all",
+    "set_intersect_all", "ts_ewma", "ts_rolling_corr", "ts_trend_slope",
+    "ts_seasonal_decompose", "fn_date_spark", "fn_bitwise", "fn_trig",
+    "fn_collation", "stream_file_sink_exactly_once", "stream_ewma",
+    "agg_count_min_topk", "etl_merge_upsert", "etl_cdc_apply",
+    "dq_observe_metrics", "graph_pagerank", "graph_triangles",
+    "llm_semantic_dedup", "llm_quality_classifier", "llm_dedup_cascade",
+    "graph_cc_star", "graph_kcore", "join_runtime_bloom",
+    "llm_temperature_mix", "llm_leakage_safe_split", "llm_dataset_card",
+    "llm_dedup_url",
 ]
 
 

@@ -116,6 +116,37 @@ KEYS = {
 }
 
 
+def _decorrelate_embedding(F):
+    """Clone-free per-copy embedding perturbation (VERDICT r13 #2).
+
+    The r6 'tiny rotation' (±0.015/component vs component std
+    ~0.123) left every copy at cosine ~0.997 to its siblings — for
+    SRP-LSH all N copies of a vector share band signatures at ANY
+    bit width (identical projection signs), so every clone group
+    collapsed into one bucket and candidate-pair volume grew with
+    the SQUARE of the copy factor: the sf10 smoke measured clone
+    mass, not the algorithm. Real disjoint shards are directionally
+    INDEPENDENT, so: shrink the shared component (x0.5) and add
+    integer-mix noise at ~2.3x the residual signal scale (uniform
+    [-0.25, 0.25], std 0.144) — cross-copy cosine drops to ~0.15
+    (projection signs ~independent), copies land in independent
+    buckets, and true near-dup pair count stays linear in the copy
+    factor. Deterministic and partition-invariant: the mix keys on
+    vec_id (already copy-shifted) and the component index — no RNG."""
+    return F.transform(
+        "embedding",
+        lambda x, j: (
+            x * 0.5
+            + (
+                ((F.col("vec_id") * 2654435761 + j * 40503) % 501)
+                .cast("double")
+                / 1000.0
+                - 0.25
+            ).cast("float")
+        ).cast("float"),
+    )
+
+
 def build_fixture(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -152,17 +183,7 @@ def build_fixture(spark) -> None:
                     F.regexp_replace("text", r"(\S+)", f"$1c{i}"),
                 )
             if table == "embeddings":
-                # tiny deterministic per-copy rotation so copies are
-                # not bit-identical vectors (same reason as texts)
-                c = c.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, j: x
-                        + ((F.col("vec_id") + j) % 11 - 5).cast("float")
-                        * 0.003,
-                    ),
-                )
+                c = c.withColumn("embedding", _decorrelate_embedding(F))
             parts.append(c)
         u = parts[0]
         for p in parts[1:]:

@@ -12,9 +12,12 @@ Fixture synthesis is the r6 bijective-token trick at 100 copies:
 each table is the union of N key-shifted disjoint copies (every key
 column shifted by copy_index * (max_key + 1)), document texts get a
 per-copy suffix on EVERY token (cross-copy shingle sets disjoint,
-within-copy similarity intact), embeddings a tiny deterministic
-per-copy rotation. Built with a crossJoin against range(N) rather
-than a 100-way union so the build plan stays flat.
+within-copy similarity intact), embeddings a DIRECTIONALLY
+decorrelating per-copy perturbation (r14, VERDICT r13 #2 — the old
+tiny rotation left copies at cosine ~0.997, so LSH bucket occupancy
+grew quadratically in copy factor; see
+scale_smoke._decorrelate_embedding). Built with a crossJoin against
+range(N) rather than a 100-way union so the build plan stays flat.
 
 Measurement fidelity (beyond the r5-era gc/ordering hygiene, which
 is kept): the co-purchase edge scratch is WARMED once per scale
@@ -47,7 +50,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from scale_smoke import KEYS, SRC, build_fixture  # noqa: E402  (sf1 builder)
+from scale_smoke import (  # noqa: E402  (sf1 builder)
+    KEYS,
+    SRC,
+    _decorrelate_embedding,
+    build_fixture,
+)
 
 D1 = "/tmp/infofarmsparkml_sf1"
 D10 = "/tmp/infofarmsparkml_sf10"
@@ -97,14 +105,9 @@ def build_fixture10(spark) -> None:
                 ),
             )
         if table == "embeddings":
-            c = c.withColumn(
-                "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, j: x
-                    + ((F.col("vec_id") + j) % 11 - 5).cast("float") * 0.003,
-                ),
-            )
+            # clone-free decorrelation (VERDICT r13 #2) — see
+            # scale_smoke._decorrelate_embedding
+            c = c.withColumn("embedding", _decorrelate_embedding(F))
         c.drop("_ci").write.mode("overwrite").parquet(out)
         print(f"# built {table} x{COPIES10}", file=sys.stderr)
 
