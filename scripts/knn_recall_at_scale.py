@@ -43,12 +43,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-D = "/tmp/infofarmsparkml_knn17"
-N = 4_500_000
+# N is env-overridable (VERDICT r13 #4: witness the 18-20-bit
+# regimes too). Defaults reproduce the r13 17-bit artifact; the
+# 20-bit cap regime needs N >= 2^25 = 33,554,432
+# (KNN_N=33554432 KNN_DIR=/tmp/infofarmsparkml_knn20). QUERY_MOD
+# scales with N so the sample stays ~200 queries.
+N = int(os.environ.get("KNN_N", 4_500_000))
+D = os.environ.get("KNN_DIR", "/tmp/infofarmsparkml_knn17")
 MEMBERS = 50          # vectors per cluster
 DIMS = 64
-QUERY_MOD = 22_500    # 200 sampled queries: vec_id % QUERY_MOD == 0
+QUERY_MOD = N // 200  # ~200 sampled queries: vec_id % QUERY_MOD == 0
 K = 5
+MIN_BITS = int(os.environ.get("KNN_MIN_BITS", 17))
 
 
 def build_fixture(spark) -> None:
@@ -190,7 +196,9 @@ def main() -> int:
 
     n = spark.read.parquet(f"{D}/embeddings.parquet").count()
     bits = _adaptive_band_bits(n)
-    assert bits >= 17, f"N={n} only reaches {bits} bits; grow the fixture"
+    assert bits >= MIN_BITS, (
+        f"N={n} only reaches {bits} bits; grow the fixture"
+    )
 
     emb = _double_vecs(spark, D, "vec_id", "e")
     quant = emb.select(
@@ -224,10 +232,11 @@ def main() -> int:
         "approx_sec": approx_sec,
         "exact_sec": exact_sec,
         "loadavg_1m": round(os.getloadavg()[0], 2),
-        "note": "clustered 90k x 50 fixture (deterministic LCG), "
-        "approx side = llm._knn_join_topk (the operator's own core) "
-        "restricted to the sampled queries; restricted==full pinned "
-        "by test at sf0.1. Gate: recall >= 0.6 (VERDICT r12 #2).",
+        "note": f"clustered {N // MEMBERS} x {MEMBERS} fixture "
+        "(deterministic LCG), approx side = llm._knn_join_topk (the "
+        "operator's own core) restricted to the sampled queries; "
+        "restricted==full pinned by test at sf0.1. Gate: recall >= "
+        "0.6 (VERDICT r12 #2 / r13 #4).",
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
