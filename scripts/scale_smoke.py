@@ -127,18 +127,29 @@ def _decorrelate_embedding(F):
     the SQUARE of the copy factor: the sf10 smoke measured clone
     mass, not the algorithm. Real disjoint shards are directionally
     INDEPENDENT, so: shrink the shared component (x0.5) and add
-    integer-mix noise at ~2.3x the residual signal scale (uniform
+    hash noise at ~2.3x the residual signal scale (uniform
     [-0.25, 0.25], std 0.144) — cross-copy cosine drops to ~0.15
     (projection signs ~independent), copies land in independent
     buckets, and true near-dup pair count stays linear in the copy
-    factor. Deterministic and partition-invariant: the mix keys on
-    vec_id (already copy-shifted) and the component index — no RNG."""
+    factor. Deterministic and partition-invariant: the noise keys on
+    vec_id (already copy-shifted) and the component index — no RNG.
+
+    The noise generator must be a REAL hash (Murmur3 via F.hash),
+    not a linear congruential mix: the first cut of this fix used
+    `(vec_id*A + j*B) % 501`, which across components j is an
+    arithmetic progression mod 501 — only 501 distinct noise
+    vectors exist (cyclic shifts of one sawtooth), so vectors
+    sharing a residue class got IDENTICAL noise and, with the
+    signal shrunk 2x, became near-parallel phantom clones
+    (~400-member classes at sf10). PAIRMASS_r14's first run caught
+    it: kNN candidate volume grew 40-48x/decade with max bucket
+    occupancy 9066. Murmur3's avalanche has no such lattice."""
     return F.transform(
         "embedding",
         lambda x, j: (
             x * 0.5
             + (
-                ((F.col("vec_id") * 2654435761 + j * 40503) % 501)
+                F.pmod(F.hash(F.col("vec_id"), j), F.lit(501))
                 .cast("double")
                 / 1000.0
                 - 0.25
