@@ -363,6 +363,30 @@ def _double_vecs(spark: SparkSession, sf_dir: str, id_alias: str, vec_alias: str
 
 
 def _dot(a, b):
+    """64-dim dot product, unrolled for whole-stage codegen (r14).
+
+    Was a zip_with/aggregate higher-order fold through r13 — HOF
+    lambdas evaluate interpreted per element, and the unrolled form
+    measured ~9x faster on the kNN verify stream (see _qdist, same
+    experiment). The chain reproduces the fold EXACTLY: left-
+    associated additions seeded with 0.0 in index order, so every
+    committed oracle hash (doubles are order-sensitive) and the
+    -0.0 edge case are unchanged. 64 is the engine-wide embedding
+    width, hardcoded exactly like the oracle twins' range(64)."""
+    acc: Column = F.lit(0.0)
+    for j in range(64):
+        acc = acc + a.getItem(j) * b.getItem(j)
+    return acc
+
+
+def _dot_fold(a, b):
+    """The pre-r14 higher-order-fold dot product, kept for call
+    sites that evaluate MANY dots in one projection (llm_ivf_topk:
+    16 centers x 3 dots): unrolling those multiplies the Catalyst
+    tree by 64 per dot (~9k nodes for ivf's cell array), which
+    OOMs codegen on a default-1g vanilla driver — the driver's own
+    session. One fold node per dot keeps the tree small; identical
+    IEEE result (same index-order left association)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1181,32 +1205,34 @@ def _srp_band_keys(
 
 # exact integer squared distance between two quantized vectors —
 # identical fold in both engines (see oracle twin in the kNN SQL).
-# r13: computed by an Arrow-batched numpy int64 subtract-square-sum
-# instead of the Catalyst higher-order fold — HOF lambdas evaluate
-# interpreted per element, and with cluster-heavy corpora the verify
-# stage's pair volume (legitimately proportional to true near-dup
-# mass) made the ~128 interpreted evals/pair the kNN join's dominant
-# cost at the sf10 smoke scale (measured: verify-bound 560 s before,
-# signature pass already vectorized). Values are bit-identical
-# (quantized ints: diff^2 <= 5.8e12, 64-term sum <= 3.7e14 — well
-# inside int64), so every committed oracle hash is unchanged.
-# PRECONDITION: both columns non-null (every call site feeds inner
-# joins on quantized vectors). A null element would raise in the
-# Arrow worker where the old Catalyst fold yielded NULL — callers
-# introducing outer joins must coalesce or filter first.
+# Evolution of this hot path (it dominates every LSH verify stage):
+# r4-r12 a Catalyst higher-order fold (HOF lambdas evaluate
+# interpreted per element — ~128 interpreted evals/pair); r13 an
+# Arrow-batched numpy kernel (skips the interpreter but pays the
+# Arrow round-trip: every pair ships 2x64 int64 out to a Python
+# worker and the result back); r14 the form that beats both — the
+# sum UNROLLED over the fixed 64 dimensions as plain integer
+# arithmetic, which whole-stage codegen compiles into the join
+# stage itself. Measured on the same checkpointed 7.5M-pair stream
+# (sf1 smoke fixture, local[32]): unrolled 7.7 s vs pandas-UDF
+# 66.8 s vs HOF fold 75.3 s, zero value mismatches. The dimension
+# is hardcoded at 64 exactly like the oracle twins' range(64) — a
+# different embedding width is an engine-wide fixture change, not
+# a runtime variable. Values are bit-identical (quantized ints:
+# diff^2 <= 5.8e12, 64-term sum <= 3.7e14 — well inside int64), so
+# every committed oracle hash is unchanged.
+# PRECONDITION: both columns non-null with >= 64 elements (every
+# call site feeds inner joins on quantized vectors). A null/short
+# element yields a NULL distance (the pre-r13 fold's behavior)
+# instead of the Arrow worker's raise — callers introducing outer
+# joins must coalesce or filter first.
 def _qdist(a: str, b: str) -> Column:
-    import numpy as _np
-
-    @F.pandas_udf("long")
-    def _q(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="int64")
-        ma = _np.asarray(va.tolist(), dtype="int64")
-        mb = _np.asarray(vb.tolist(), dtype="int64")
-        d = ma - mb
-        return pd.Series((d * d).sum(axis=1, dtype="int64"))
-
-    return _q(F.col(a), F.col(b))
+    va, vb = F.col(a), F.col(b)
+    acc: Column | None = None
+    for j in range(64):
+        d = va.getItem(j) - vb.getItem(j)
+        acc = d * d if acc is None else acc + d * d
+    return acc
 
 
 _KNN_QUANT_CTE = """
@@ -1548,7 +1574,14 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def d2(vec, cv):
         # same association as the oracle: (dot(v,v) - 2*dot(v,c)) + dot(c,c)
-        return _dot(vec, vec) - F.lit(2.0) * _dot(vec, cv) + _dot(cv, cv)
+        # _dot_fold, not _dot: 16 centers x 3 dots in one projection
+        # unrolled is ~9k expression nodes — codegen OOM on a 1g
+        # vanilla driver (observed r14; the driver's own session)
+        return (
+            _dot_fold(vec, vec)
+            - F.lit(2.0) * _dot_fold(vec, cv)
+            + _dot_fold(cv, cv)
+        )
 
     cells = F.array(
         *[

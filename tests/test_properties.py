@@ -362,15 +362,17 @@ def test_srp_plane_pool_prefix_is_r5_stable():
 
 
 def test_vectorized_srp_and_qdist_match_reference_at_20_bits(spark):
-    """r13 moved the SRP projection and the quantized distance from
-    Catalyst higher-order folds to Arrow numpy int64 kernels. Their
-    exactness is witnessed by oracle hashes at the fixture widths
-    (4-5 bits) and by the 4.5M-vector recall artifact at 17 bits —
-    this test pins it IN CI at the full 20-bit / 320-plane geometry
-    no fixture reaches: band keys and distances from the vectorized
-    operators must equal an independent pure-Python evaluation of
-    the original fold (dot > 0 sign bits, key = sum of 2^pos; exact
-    integer arithmetic end to end)."""
+    """r13 moved the SRP projection to an Arrow numpy int64 kernel
+    and r14 moved the quantized distance again, to a 64-term
+    unrolled codegen expression (_qdist — measured 8.7x faster than
+    the Arrow kernel on the verify stream). Exactness is witnessed
+    by oracle hashes at the fixture widths (4-5 bits) and by the
+    4.5M-vector recall artifact at 17 bits — this test pins it IN
+    CI at the full 20-bit / 320-plane geometry no fixture reaches:
+    band keys and distances from the shipping kernels must equal an
+    independent pure-Python evaluation of the original fold
+    (dot > 0 sign bits, key = sum of 2^pos; exact integer
+    arithmetic end to end)."""
     from infofarmsparkml_spark.operators.llm import (
         _SRP_W,
         _qdist,
