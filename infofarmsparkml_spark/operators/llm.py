@@ -1157,7 +1157,7 @@ def _quantize_vec(col: str) -> Column:
 
 
 def _srp_band_keys(
-    quant: DataFrame, n_bands: int, band_bits: int
+    quant: DataFrame, n_bands: int, band_bits: int, carry_qv: bool = False
 ) -> DataFrame:
     """(vec_id, band, bkey) LSH bucket keys from quantized vectors:
     n_bands x band_bits sign bits of the md5-derived hyperplane pool
@@ -1197,6 +1197,15 @@ def _srp_band_keys(
         keys = signs.reshape(len(m), n_bands, band_bits) @ pows
         return pd.Series(list(keys))
 
+    if carry_qv:
+        # carry the quantized vector alongside its keys so callers
+        # can evaluate distances INSIDE the bucket join (r14: the
+        # kNN verify no longer re-attaches vectors to the pair
+        # stream through two corpus joins — see _knn_join_topk)
+        return (
+            quant.select("vec_id", "qv", _band_keys("qv").alias("bk"))
+            .select("vec_id", "qv", F.posexplode("bk").alias("band", "bkey"))
+        )
     return (
         quant.select("vec_id", _band_keys("qv").alias("bk"))
         .select("vec_id", F.posexplode("bk").alias("band", "bkey"))
@@ -1269,32 +1278,63 @@ def _knn_join_topk(
     verify cost — the honest way to witness recall on corpora where
     the full N^2/buckets self-join is hours of compute. With no
     predicate, the canonical-pairs + mirror form computes each
-    symmetric distance once (half the verify work)."""
-    keys = _srp_band_keys(quant, n_bands=16, band_bits=_adaptive_band_bits(n))
+    symmetric distance once (half the verify work).
+
+    Verify shape (r14): the quantized vectors ride WITH their band
+    keys (carry_qv) and the exact distance is evaluated INSIDE the
+    bucket self-join's projection — there is no pair stream to
+    re-attach vectors to, so the two corpus joins the verify used
+    to pay are gone, and with them the operator's scale cliff: at
+    smoke sf10 the old attach joins carried 114.6M candidate rows
+    x 520-byte arrays through the planner's fallback strategies
+    (sort-merge 837 s / shuffle-hash-hinted 1224 s isolated — the
+    wide-row shuffle itself was the cost, whichever strategy).
+    The bucket join now shuffles 16 key rows x ~550 B per vector
+    (16n rows total, linear in corpus size with the adaptive band
+    width keeping occupancy bounded), the distance collapses each
+    collision to 24 narrow bytes in the join projection, and the
+    dedup/top-k window downstream only ever see (qid, nid, qdist).
+    DISTINCT moves after the distance: qdist is a function of the
+    pair, so dedup on (qid, nid, qdist) keeps the exact same pair
+    set and the extra evaluations on multi-band collisions are
+    ~1M pairs/s/core in the unrolled codegen kernel (_qdist) —
+    cheaper than any replanned shuffle that avoids them."""
+    keys = _srp_band_keys(
+        quant, n_bands=16, band_bits=_adaptive_band_bits(n), carry_qv=True
+    )
     a, b = keys.alias("a"), keys.alias("b")
-    qa = quant.select(F.col("vec_id").alias("qid"), F.col("qv").alias("va"))
-    qb = quant.select(F.col("vec_id").alias("nid"), F.col("qv").alias("vb"))
+    on_bucket = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bkey") == F.col("b.bkey")
+    )
+    pair_cols = [
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        _qdist("a.qv", "b.qv").alias("qdist"),
+    ]
     if query_pred is None:
         # canonical pairs only (qid < nid): the bucket relation is
         # symmetric, so each distance is computed ONCE and mirrored
         # before ranking — half the verify work in both engines
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("qid"),
-                F.col("b.vec_id").alias("nid"),
-            )
-            .distinct()
-        )
         half = (
-            cand.join(qa, "qid").join(qb, "nid")
-            .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
+            a.join(b, on_bucket & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(*pair_cols)
+            .distinct()
+            # persist: the mirror union references `half` twice, and
+            # exchange reuse does NOT fire across the two branches —
+            # the analyzer deduplicates the second subtree's exprIds
+            # through the SRP pandas UDF and the canonicalized
+            # exchanges stop matching, so without this the ENTIRE
+            # signature + bucket join + distance + distinct pipeline
+            # executes twice (observed in the r14 sf10 plan: 8
+            # ArrowEvalPython nodes, two identical un-reused
+            # BroadcastExchanges, a clean ~2x on the smoke leg).
+            # Persisted `half` is the verified-pair set — output-
+            # sized (24 B/row), the smallest thing in the operator.
+            .persist()
         )
+        # mirror by union over the persisted pair set: each pair's
+        # distance is computed once and contributes to both
+        # endpoints' rankings
         verified = half.unionByName(
             half.select(
                 F.col("nid").alias("qid"),
@@ -1303,26 +1343,14 @@ def _knn_join_topk(
             )
         )
     else:
-        cand = (
-            # the restricted query side is a few hundred signature
-            # rows — broadcast it so the corpus-sized key table is
-            # probed map-side, never sorted
-            F.broadcast(a.filter(query_pred))
-            .join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.vec_id") != F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("qid"),
-                F.col("b.vec_id").alias("nid"),
-            )
-            .distinct()
-        )
+        # the restricted query side is a few hundred key rows —
+        # broadcast it so the corpus-sized key table is probed
+        # map-side, never sorted
         verified = (
-            cand.join(qa, "qid").join(qb, "nid")
-            .select("qid", "nid", _qdist("va", "vb").alias("qdist"))
+            F.broadcast(a.filter(query_pred))
+            .join(b, on_bucket & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .select(*pair_cols)
+            .distinct()
         )
     w = W.partitionBy("qid").orderBy("qdist", "nid")
     return (
