@@ -124,6 +124,27 @@ def _fact_in_broadcast_range(spark: SparkSession, df: DataFrame) -> bool:
     return est < 3 * thr
 
 
+def _guarded_vertex_pick(spark: SparkSession, edges_raw: DataFrame):
+    """The shared build-side policy for every iterative vertex-join
+    loop (pagerank/bfs/sssp/lpa, r14 ADVICE closed in 3fb8b43, shared
+    helper r15): while the EDGE table's estimate is inside broadcast
+    range, return `F.broadcast` so the vertex-sized side is stated
+    explicitly as the build side (a scratch edge table whose
+    file-size estimate flirts with the threshold must never become
+    the build side on a coin-flip — it OOMs a default-memory
+    driver); past broadcast range — or with auto-broadcast disabled
+    — return identity so NO hint is emitted: an unconditional
+    broadcast hint would override a disabled-auto-broadcast session
+    and hit Spark's 8 GB broadcast hard cap past ~1e8 vertices,
+    where the un-hinted plan lets AQE fall back to a shuffle join.
+    Plan-pinned both ways in tests/test_plans.py."""
+    return (
+        F.broadcast
+        if _fact_in_broadcast_range(spark, edges_raw)
+        else (lambda df: df)
+    )
+
+
 @query(
     "graph_degree",
     oracle="""
@@ -217,11 +238,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # statically buildable and the un-hinted single-DAG
     # ReusedExchange shape — the one the r12 smoke measured 2.5x
     # better than SHUFFLE_HASH at sf1/sf10 — stands untouched.
-    pick = (
-        F.broadcast
-        if _fact_in_broadcast_range(spark, edges_raw)
-        else (lambda df: df)
-    )
+    pick = _guarded_vertex_pick(spark, edges_raw)
     for i in range(10):
         contribs = (
             edges.join(pick(ranks), "src")
@@ -644,11 +661,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session that disabled auto-broadcast and, past ~1e8 vertices,
     # hit Spark's 8 GB broadcast hard cap where the un-hinted plan
     # lets AQE fall back to a shuffle join.
-    pick = (
-        F.broadcast
-        if _fact_in_broadcast_range(spark, edges_raw)
-        else (lambda df: df)
-    )
+    pick = _guarded_vertex_pick(spark, edges_raw)
     lf = load_table(spark, sf_dir, "lineitem")
     seed = lf.agg(F.min("l_partkey").alias("node"))
     visited = seed.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
@@ -743,11 +756,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_pagerank/graph_bfs discipline (ADVICE r13): explicit
     # vertex-side broadcast only while the edge estimate is inside
     # broadcast range; past it, leave AQE unhinted.
-    pick = (
-        F.broadcast
-        if _fact_in_broadcast_range(spark, edges)
-        else (lambda df: df)
-    )
+    pick = _guarded_vertex_pick(spark, edges)
     dist = (
         lf.agg(F.min("l_partkey").alias("node"))
         .withColumn("d", F.lit(0).cast("long"))
@@ -839,11 +848,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # withheld (ADVICE r13): no side is statically buildable, and
     # an unconditional hint would override a disabled-auto-broadcast
     # session and hit the 8 GB broadcast cap past ~1e8 vertices.
-    pick = (
-        F.broadcast
-        if _fact_in_broadcast_range(spark, edges_raw)
-        else (lambda df: df)
-    )
+    pick = _guarded_vertex_pick(spark, edges_raw)
     for _ in range(3):
         nbr_min = (
             edges.join(pick(labels), edges.src == labels.node)

@@ -52,7 +52,13 @@ N = int(os.environ.get("KNN_N", 4_500_000))
 D = os.environ.get("KNN_DIR", "/tmp/infofarmsparkml_knn17")
 MEMBERS = 50          # vectors per cluster
 DIMS = 64
-QUERY_MOD = N // 200  # ~200 sampled queries: vec_id % QUERY_MOD == 0
+# ~200 sampled queries: vec_id % QUERY_MOD == 0. Floored at 1 so a
+# small KNN_N override degrades to querying every vector instead of
+# a modulo-by-zero crash (ADVICE r14); below ~1000 vectors the
+# recall sample is too small to mean much, so warn.
+QUERY_MOD = max(1, N // 200)
+if N < 1000:
+    print(f"# warning: KNN_N={N} is tiny; recall sample is degenerate")
 K = 5
 MIN_BITS = int(os.environ.get("KNN_MIN_BITS", 17))
 

@@ -32,10 +32,52 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scale_smoke import DST as D1  # noqa: E402
-from scale_smoke import SRC  # noqa: E402
+from scale_smoke import SRC, KEYS, _decorrelate_embedding  # noqa: E402
 from scale_smoke2 import D10  # noqa: E402
 
 SCALES = [("sf0.1", SRC), ("sf1", D1), ("sf10", D10)]
+
+# Third decade (VERDICT r14 #5): candidate volume only, documents +
+# embeddings only — 1000 key-shifted copies of sf0.1 (5M docs / 2M
+# vectors). The full dedup output run is skipped at this scale (the
+# verified-pair mass is fixture hygiene, settled at sf1/sf10 with
+# cross-copy == 0); what decade 3 adjudicates is whether the
+# CANDIDATE volume ratios converge to ~10/decade.
+D100 = "/tmp/infofarmsparkml_sf100_pm"
+COPIES100 = 1000
+
+
+def build_fixture100(spark) -> None:
+    """documents + embeddings at 1000 copies, same bijective-token /
+    decorrelated-embedding construction as scale_smoke2's sf10
+    builder (crossJoin against range(N) keeps the plan flat)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(D100, exist_ok=True)
+    for table in ("documents", "embeddings"):
+        out = f"{D100}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        keys = KEYS[table]
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        maxes = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        copies = spark.range(COPIES100).select(F.col("id").alias("_ci"))
+        c = df.crossJoin(copies)
+        for k in keys:
+            c = c.withColumn(k, F.col(k) + F.col("_ci") * (int(maxes[k]) + 1))
+        if table == "documents":
+            c = c.withColumn(
+                "text",
+                F.regexp_replace(
+                    "text",
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1c"), F.col("_ci").cast("string")),
+                ),
+            )
+        else:
+            c = c.withColumn("embedding", _decorrelate_embedding(F))
+        c.drop("_ci").write.mode("overwrite").parquet(out)
+        print(f"# built {table} x{COPIES100}", file=sys.stderr)
 
 
 def bucket_pair_volume(keys, group_cols):
@@ -97,8 +139,12 @@ def main() -> int:
         + 1
     )
 
+    build_fixture100(spark)
+
     out: dict[str, dict] = {}
-    for label, sf_dir in SCALES:
+    for label, sf_dir, full in [s + (True,) for s in SCALES] + [
+        ("sf100", D100, False)
+    ]:
         shift_d = None if label == "sf0.1" else doc_shift
         shift_v = None if label == "sf0.1" else vec_shift
         row: dict = {}
@@ -111,19 +157,20 @@ def main() -> int:
         candv, max_occ, n_buckets = bucket_pair_volume(
             sig_long, ["band", "bk"]
         )
-        from infofarmsparkml_spark import registry
-
-        fn, _ = registry.get("llm_minhash_lsh_dedup")
-        out_pairs = fn(spark, sf_dir).localCheckpoint()
-        w, c = copy_split(out_pairs, "doc_a", "doc_b", shift_d)
         row["minhash"] = {
             "n_docs": docs.count(),
             "cand_join_volume": candv,
             "max_bucket_occ": max_occ,
             "n_buckets": n_buckets,
-            "out_pairs_within_copy": w,
-            "out_pairs_cross_copy": c,
         }
+        if full:
+            from infofarmsparkml_spark import registry
+
+            fn, _ = registry.get("llm_minhash_lsh_dedup")
+            out_pairs = fn(spark, sf_dir).localCheckpoint()
+            w, c = copy_split(out_pairs, "doc_a", "doc_b", shift_d)
+            row["minhash"]["out_pairs_within_copy"] = w
+            row["minhash"]["out_pairs_cross_copy"] = c
 
         n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         emb = llm._double_vecs(spark, sf_dir, "vec_id", "e")
@@ -135,25 +182,26 @@ def main() -> int:
         kcandv, kmax_occ, kn_buckets = bucket_pair_volume(
             keys, ["band", "bkey"]
         )
-        # cross/within split of the CANDIDATE volume (not just
-        # output): count bucket-mate pairs by copy relation on a
-        # per-bucket basis via a self-join restricted to one band
-        # (volume per band is i.i.d. across bands; band 0 is an
-        # unbiased 1/16 sample measured exactly)
-        k0 = keys.filter(F.col("band") == 0)
-        a = k0.select(F.col("vec_id").alias("va"), "bkey")
-        b = k0.select(F.col("vec_id").alias("vb"), "bkey")
-        p0 = a.join(b, "bkey").filter(F.col("va") < F.col("vb"))
-        kw, kc = copy_split(p0, "va", "vb", shift_v)
         row["knn"] = {
             "n_vecs": n,
             "band_bits": bits,
             "cand_join_volume": kcandv,
             "max_bucket_occ": kmax_occ,
             "n_buckets": kn_buckets,
-            "band0_pairs_within_copy": kw,
-            "band0_pairs_cross_copy": kc,
         }
+        if full:
+            # cross/within split of the CANDIDATE volume (not just
+            # output): count bucket-mate pairs by copy relation on a
+            # per-bucket basis via a self-join restricted to one band
+            # (volume per band is i.i.d. across bands; band 0 is an
+            # unbiased 1/16 sample measured exactly)
+            k0 = keys.filter(F.col("band") == 0)
+            a = k0.select(F.col("vec_id").alias("va"), "bkey")
+            b = k0.select(F.col("vec_id").alias("vb"), "bkey")
+            p0 = a.join(b, "bkey").filter(F.col("va") < F.col("vb"))
+            kw, kc = copy_split(p0, "va", "vb", shift_v)
+            row["knn"]["band0_pairs_within_copy"] = kw
+            row["knn"]["band0_pairs_cross_copy"] = kc
         out[label] = row
         print(f"# {label}: {json.dumps(row)}", file=sys.stderr)
 
@@ -167,14 +215,32 @@ def main() -> int:
         return {
             "d1": round(get("sf1") / max(get("sf0.1"), 1), 2),
             "d2": round(get("sf10") / max(get("sf1"), 1), 2),
+            "d3": round(get("sf100") / max(get("sf10"), 1), 2),
+            # the honest linearity statement for an occupancy-
+            # stepped schedule: the CUMULATIVE ratio vs the 1000x
+            # data factor (per-decade ratios oscillate with where N
+            # lands in the integer bits ladder — see note)
+            "cum_3dec": round(get("sf100") / max(get("sf0.1"), 1), 1),
         }
 
     result = {
         "note": "candidate volume measured with the operators' own "
         "bucket constructions (llm._minhash_sig_long / "
-        "llm._srp_band_keys); linear fixture => both decade ratios "
-        "~<=10 and cross-copy mass ~0. Copy index = id // "
-        "(base max key + 1).",
+        "llm._srp_band_keys); linear fixture => cross-copy mass ~0 "
+        "and CUMULATIVE candidate-volume ratio ~= the data factor. "
+        "Copy index = id // (base max key + 1). sf100 = 1000 copies, "
+        "documents+embeddings only, candidate volume only (output "
+        "pair runs settled at sf1/sf10).",
+        "why_per_decade_ratios_oscillate": "kNN band width is "
+        "_adaptive_band_bits(n) = n.bit_length() - 6 (clamped "
+        "[4,20]): bits move in INTEGER steps, so expected bucket "
+        "occupancy n/2^bits cycles through [32, 64) as n grows — a "
+        "single decade's candidate ratio (~ 10 x occ_after/"
+        "occ_before) can land anywhere in [5, 20] by where n falls "
+        "in the cycle, while the product over decades stays linear. "
+        "r14's d1=7.35/d2=14.77 multiply to 108.6 for 100x data; "
+        "decade 3 closes the question by measuring the cumulative "
+        "ratio at 1000x (VERDICT r14 #5).",
         "doc_copy_shift": doc_shift,
         "vec_copy_shift": vec_shift,
         "scales": out,
