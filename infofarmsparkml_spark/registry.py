@@ -67,44 +67,18 @@ def _load_all_operator_modules() -> None:
 # CORRECTNESS_r*.json history. Positions 51+ pre-queue the NEXT
 # round (per-section comments below date each cohort).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r13; re-run each round)
+    # sentinels (driver-PASS every round r1-r14; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-14 slate (VERDICT r13 ask #1). Never-witnessed first:
-    # the r14 newcomer (portable sketch-union twin) and the r13
-    # newcomer agg_hll_distinct_portable (the only query of 276
-    # without a driver row); then ml_fpgrowth (latest driver row is
-    # r10 `no_oracle`, BEFORE its r13 SQL-oracle graduation — this
-    # row makes the graduation real in the driver record); then the
-    # verdict-named staleness/changed-form cohort — the r9 trio
-    # (stream_watermark_late; minhash/knn, which also changed form
-    # in the r13 SRP vectorization), the r10 block (J1-J3/J9, A1/
-    # A6/A8, L1/L3/L4, sample_hash_deterministic), and the three
-    # iterative graph ops whose build-side hints became guarded
-    # this round (ADVICE r13: bfs/sssp/lpa now share pagerank's
-    # _fact_in_broadcast_range pick).
-    "agg_hll_sketch_union_portable", "agg_hll_distinct_portable",
-    "ml_fpgrowth",
-    "stream_watermark_late", "llm_minhash_lsh_dedup", "llm_knn_join",
-    "join_inner_hash", "join_broadcast", "join_sortmerge",
-    "join_range_interval", "agg_hash_global", "agg_percentile",
-    "agg_grouping_sets", "llm_exact_dedup", "llm_dedup_components",
-    "llm_cosine_topk", "sample_hash_deterministic",
-    "graph_bfs", "graph_sssp_weighted", "graph_label_propagation",
-    # remaining slots: the stalest-witness-first queue computed by
-    # scripts/rotate_slate.py (the r4 tpch tail + r5 curation
-    # cohort pre-queued by r13)
-    "tpch_q13", "tpch_q15", "tpch_q2", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q22", "fn_url", "fn_fuzzy_match", "fn_pseudonymize",
-    "agg_mode", "dq_expectations", "etl_incremental_agg",
-    "dq_referential_integrity", "etl_snapshot_diff",
-    "llm_token_count", "llm_ngram_jaccard", "llm_simhash_pairs",
-    "llm_embedding_neardup", "llm_doc_pack", "llm_pii_scrub",
-    "llm_chunk_sliding", "llm_ngram_containment", "llm_bigram_logprob",
-    "llm_vocab_coverage",
-    # ---- position 51+: round-15 queue (not in this round's slate) --
-    # the rest of the r4/r5-era cohort, then the next-stalest r9
-    # block per scripts/rotate_slate.py
+    # round-15 slate (VERDICT r14 #6): zero failed / zero
+    # never-witnessed queries remain, so the whole slate is the
+    # stalest-witness-first queue from scripts/rotate_slate.py —
+    # the r4/r5-era cohort (spatial grid, multimodal resize/frame,
+    # events composites, ts tail, fn packs, exactly-once file
+    # sink), then the graph/curation re-witnesses whose code was
+    # touched since their last row (pagerank/triangles: shared
+    # _guarded_vertex_pick r15; semantic_dedup: the r15 fold-kernel
+    # revert), then the next-stalest r9 block.
     "join_spatial_grid", "mm_resize_ppm", "mm_frame_sample",
     "sort_range_partitioned", "events_attribution", "win_pattern_match",
     "events_rfm", "scan_json_permissive", "set_except_all",
@@ -116,7 +90,22 @@ _PRIORITY: list[str] = [
     "llm_semantic_dedup", "llm_quality_classifier", "llm_dedup_cascade",
     "graph_cc_star", "graph_kcore", "join_runtime_bloom",
     "llm_temperature_mix", "llm_leakage_safe_split", "llm_dataset_card",
-    "llm_dedup_url",
+    "llm_dedup_url", "llm_perplexity_bucket", "llm_diversity_sample",
+    "ps_pandas_api", "scan_python_datasource", "stream_python_datasource",
+    "llm_dup_substring", "llm_bm25_topk", "scan_xml_roundtrip",
+    "sql_parameterized",
+    # ---- position 51+: round-16 queue (next-stalest, pre-queued
+    # by scripts/rotate_slate.py on the r15 witness history) ----
+    "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
+    "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
+    "udf_cogroup_arrow", "win_distinct_running", "win_median_rolling",
+    "fn_regexp", "stream_stream_leftouter", "stream_session_append",
+    "agg_histogram", "agg_approx_distinct", "agg_percentile_approx",
+    "agg_hll_sketch_union", "graph_triangles_doulion", "llm_knn_join_exact",
+    "llm_stratified_sample", "join_skew_salted", "llm_curation_pipeline",
+    "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
+    "ml_eval_trained", "ml_decision_tree", "ml_random_forest",
+    "ml_naive_bayes",
 ]
 
 
