@@ -1678,6 +1678,194 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_pq_topk",
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+q AS (SELECT vec_id, list_transform(e, x -> floor(x * 1048576.0)) AS qv
+      FROM base),
+ranked_ctr AS (
+  SELECT vec_id, qv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM q),
+ctr AS (SELECT CAST(rn - 1 AS INTEGER) AS k, qv AS cv
+        FROM ranked_ctr WHERE rn <= 256),
+sub AS (SELECT CAST(s AS INTEGER) AS s FROM range(8) t(s)),
+d AS (
+  SELECT v.vec_id, sub.s, c.k,
+         CAST(list_sum(list_transform(range(8),
+             j -> (v.qv[sub.s * 8 + j + 1] - c.cv[sub.s * 8 + j + 1])
+                * (v.qv[sub.s * 8 + j + 1] - c.cv[sub.s * 8 + j + 1])))
+           AS BIGINT) AS d2
+  FROM q v, sub, ctr c),
+codes AS (
+  SELECT vec_id, s, k AS code FROM (
+    SELECT vec_id, s, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rnk
+    FROM d) WHERE rnk = 1),
+qd AS (SELECT vec_id AS qid, s, k, d2 FROM d WHERE vec_id < 5),
+adc AS (
+  SELECT qd.qid, c.vec_id AS cid, SUM(qd.d2) AS adc
+  FROM codes c JOIN qd ON qd.s = c.s AND qd.k = c.code
+  WHERE qd.qid <> c.vec_id
+  GROUP BY qd.qid, c.vec_id),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS srn
+    FROM adc) WHERE srn <= 200),
+rer AS (
+  SELECT sl.qid, sl.cid,
+         CAST(list_sum(list_transform(range(64),
+                j -> (qa.qv[j + 1] - qb.qv[j + 1])
+                     * (qa.qv[j + 1] - qb.qv[j + 1]))) AS BIGINT) AS qdist
+  FROM short sl JOIN q qa ON qa.vec_id = sl.qid
+       JOIN q qb ON qb.vec_id = sl.cid),
+ranked AS (
+  SELECT qid, cid, qdist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdist, cid) AS rn
+  FROM rer)
+SELECT qid, cid,
+       ROUND(sqrt(CAST(qdist AS DOUBLE)) / 1048576.0, 6) AS euclidean,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+""",
+)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r15): the memory-bound scale path a
+    100 TB embedding corpus actually needs — each 64-dim vector is
+    encoded as 8 ONE-BYTE codes (8 subspaces x 256-center codebooks),
+    a ~32x compression that turns a ~25 TB float corpus into a
+    ~0.8 TB code table that fits hot storage, and query-time
+    scanning into 8 table lookups + adds per candidate (ADC:
+    asymmetric distance computation, Jegou et al. 2011, PAPERS.md).
+
+    Spark shape: codebooks are the 256 corpus vectors with smallest
+    md5(vec_id) (the IVF-blessed determinism — a 256-row driver
+    collect entering the plan as a closure constant), sliced into 8
+    subvectors each; ENCODE is one corpus scan through an
+    Arrow-batched numpy kernel (einsum over exact int64 quantized
+    values — the `_srp_band_keys` discipline, no per-row Python);
+    each query precomputes its 8x256 distance TABLE the same way,
+    the tiny query side broadcasts, and the ADC sum is 8
+    `element_at` lookups evaluated JVM-side in the join projection.
+    No shuffle touches the corpus until the per-query window.
+
+    Two stages, the production ANN architecture: the ADC scan keeps
+    a per-query SHORTLIST (top-200 by approximate distance — ties
+    to the smaller cid), then the shortlist alone is RERANKED with
+    the exact quantized distance (`_qdist`, a broadcast join of
+    queries x shortlist against one corpus probe). Measured on the
+    hardest case — this near-random synthetic corpus, where pure
+    ADC top-10 recalls only 0.14-0.34 — the shortlist contains
+    0.94-1.0 of the exact top-10 (depth 200, sf0.1/sf0.01), so the
+    reranked result is near-exact at a fraction of brute-force cost:
+    at 100 TB the full-vector reads are |queries| x 200 point
+    lookups instead of a corpus scan.
+
+    Bit-parity: quantized values, codebook distances, codes
+    (argmin, ties to the smaller center index), ADC sums and rerank
+    distances are all exact int64 arithmetic, so the DuckDB oracle
+    reproduces every shortlist member and rank bit-for-bit — an
+    LSH-free second hash-checkable ANN alongside `llm_ivf_topk`
+    (which keeps full vectors and probes cells; PQ trades the
+    residual's exactness for 32x less scan state).
+    """
+    import numpy as _np
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
+    picks = (
+        quant.select(
+            F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "qv"
+        )
+        .orderBy("m", "vec_id")
+        .limit(256)
+        .collect()
+    )
+    C = _np.asarray(
+        [r["qv"] for r in sorted(picks, key=lambda r: (r["m"], r["vec_id"]))],
+        dtype="int64",
+    ).reshape(256, 8, 8)  # (center, subspace, dim)
+    cn = (C * C).sum(axis=2)  # (256, 8)
+
+    def _sub_d2(m: "_np.ndarray") -> "_np.ndarray":
+        """(B, 256, 8) exact int64 d2 between each row's 8 subvectors
+        and every center's, via the expansion (never the (B,256,8,8)
+        difference tensor): |m|^2 - 2 m.c + |c|^2 per subspace.
+        Magnitudes: |sub-dot| <= 8 * (1.2e6)^2 ~ 1.2e13 — exact."""
+        mn = (m * m).sum(axis=2)  # (B, 8)
+        cross = _np.einsum("bsj,ksj->bks", m, C)  # (B, 256, 8)
+        return mn[:, None, :] - 2 * cross + cn[None, :, :]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = _np.asarray(qv.tolist(), dtype="int64").reshape(-1, 8, 8)
+        d2 = _sub_d2(m)  # (B, 256, 8)
+        # argmin over centers; numpy takes the FIRST minimum =
+        # smallest center index, the oracle's ORDER BY d2, k
+        return pd.Series(list(d2.argmin(axis=1).astype("int32")))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _qtab(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = _np.asarray(qv.tolist(), dtype="int64").reshape(-1, 8, 8)
+        d2 = _sub_d2(m)  # (B, 256, 8); table layout s*256 + k
+        return pd.Series(list(d2.transpose(0, 2, 1).reshape(len(m), 2048)))
+
+    codes = quant.select("vec_id", _codes("qv").alias("code"))
+    qtab = (
+        quant.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), _qtab("qv").alias("tab"))
+    )
+    adc_col = None
+    for s in range(8):
+        term = F.element_at(
+            F.col("tab"), F.lit(s * 256 + 1) + F.col("code").getItem(s)
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    cand = codes.join(F.broadcast(qtab), F.col("qid") != F.col("vec_id"))
+    ws = W.partitionBy("qid").orderBy("adc", "cid")
+    short = (
+        cand.select(
+            "qid", F.col("vec_id").alias("cid"), adc_col.alias("adc")
+        )
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 200)
+        .select("qid", "cid")
+    )
+    # exact rerank of the tiny shortlist: broadcast it against one
+    # corpus probe for the candidate vectors, queries ride along
+    qvs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    rer = (
+        quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+        .join(F.broadcast(short), "cid")
+        .join(F.broadcast(qvs), "qid")
+        .select("qid", "cid", _qdist("qqv", "cqv").alias("qdist"))
+    )
+    w = W.partitionBy("qid").orderBy("qdist", "cid")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
+            ).alias("euclidean"),
+            "rank",
+        )
+    )
+
+
 @query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language — how a training-data

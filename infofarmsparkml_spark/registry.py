@@ -70,15 +70,17 @@ _PRIORITY: list[str] = [
     # sentinels (driver-PASS every round r1-r14; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-15 slate (VERDICT r14 #6): zero failed / zero
-    # never-witnessed queries remain, so the whole slate is the
-    # stalest-witness-first queue from scripts/rotate_slate.py —
+    # round-15 slate (VERDICT r14 #6): the r15 newcomer first
+    # (never-witnessed queries lead, per the r2-r10 convention),
+    # then the stalest-witness-first queue from
+    # scripts/rotate_slate.py —
     # the r4/r5-era cohort (spatial grid, multimodal resize/frame,
     # events composites, ts tail, fn packs, exactly-once file
     # sink), then the graph/curation re-witnesses whose code was
     # touched since their last row (pagerank/triangles: shared
     # _guarded_vertex_pick r15; semantic_dedup: the r15 fold-kernel
     # revert), then the next-stalest r9 block.
+    "llm_pq_topk",
     "join_spatial_grid", "mm_resize_ppm", "mm_frame_sample",
     "sort_range_partitioned", "events_attribution", "win_pattern_match",
     "events_rfm", "scan_json_permissive", "set_except_all",
@@ -93,10 +95,9 @@ _PRIORITY: list[str] = [
     "llm_dedup_url", "llm_perplexity_bucket", "llm_diversity_sample",
     "ps_pandas_api", "scan_python_datasource", "stream_python_datasource",
     "llm_dup_substring", "llm_bm25_topk", "scan_xml_roundtrip",
-    "sql_parameterized",
     # ---- position 51+: round-16 queue (next-stalest, pre-queued
     # by scripts/rotate_slate.py on the r15 witness history) ----
-    "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
+    "sql_parameterized", "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
     "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
     "udf_cogroup_arrow", "win_distinct_running", "win_median_rolling",
     "fn_regexp", "stream_stream_leftouter", "stream_session_append",

@@ -1812,3 +1812,43 @@ def test_diversity_sample_cluster_quota_invariants(spark, sf_dir):
     assert sorted(r.vec_id for r in rows) == sorted(
         r.vec_id for r in again
     )
+
+
+def test_pq_topk_rerank_recall_vs_exact(spark, sf_dir):
+    """PQ shortlist (depth 200) + exact rerank must recover nearly
+    all of the true quantized-euclidean top-10, even on this
+    near-random corpus — the hardest case for a coarse codebook
+    (pure ADC top-10 recalls only ~0.2 here; the shortlist+rerank
+    architecture is what makes PQ usable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from infofarmsparkml_spark.operators.llm import (
+        _double_vecs,
+        _qdist,
+        _quantize_vec,
+    )
+
+    pq = {
+        (r["qid"], r["cid"])
+        for r in q("llm_pq_topk")(spark, sf_dir).collect()
+    }
+    quant = _double_vecs(spark, sf_dir, "vec_id", "e").select(
+        "vec_id", _quantize_vec("e").alias("qv")
+    )
+    qs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("va")
+    )
+    cs = quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("vb"))
+    ver = cs.join(F.broadcast(qs), F.col("qid") != F.col("cid")).select(
+        "qid", "cid", _qdist("va", "vb").alias("d")
+    )
+    w = W.partitionBy("qid").orderBy("d", "cid")
+    exact = {
+        (r["qid"], r["cid"])
+        for r in ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.8, f"PQ rerank recall too low: {recall}"

@@ -1085,3 +1085,16 @@ def test_graph_trio_results_invariant_to_broadcast_guard(spark, sf_dir):
         finally:
             spark.conf.set(key, old)
         assert base == unhinted, op
+
+
+def test_pq_topk_plan_is_one_scan_broadcast_rerank(spark, sf_dir):
+    """PQ's 100-TB shape, pinned: the encode is Arrow-batched (one
+    ArrowEvalPython corpus pass, never per-row Python), the query
+    table / shortlist / query-vector sides are all broadcast (the
+    corpus is never shuffled for the join), and no stage degrades
+    to a cartesian product."""
+    plan = explain_str(q("llm_pq_topk")(spark, sf_dir), "simple")
+    assert "ArrowEvalPython" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Broadcast" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
