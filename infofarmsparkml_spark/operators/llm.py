@@ -1451,7 +1451,22 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-query candidate count) constant; no all-pairs stage
     exists at any scale (plan-pinned: no cartesian, bucket-keyed
     equi-join). The row count that sizes the signature geometry is
-    plan metadata: one parquet metadata-only count, no data scan."""
+    plan metadata: one parquet metadata-only count, no data scan.
+
+    Small-N cost profile (KNN_COST_r15.json, VERDICT r14 #4): the
+    r14 PARITY sf0.01 jump (3.2 -> 21.9 s) decomposes into (a) a
+    fixed fresh-JVM warmup — janino-compiling the ~192-node unrolled
+    distance projection, Arrow worker spin-up, AQE replans — that
+    dominates first-touch at tiny N (isolated cold 13.1 s at sf0.01
+    vs 20.2 s at sf0.1: barely scale-sensitive, i.e. overhead, not
+    compute) and amortizes to ~2 s steady-state builds; and (b) the
+    r14 persist()'s cache-build path, which the r15 eager
+    localCheckpoint replaces — measured ckpt <= persist at every
+    scale tried (2.1 vs 2.9 s at sf0.01, 4.0 vs 4.7 s at sf0.1
+    steady-state) while also leaving no CacheManager entry behind
+    and truncating lineage. The reuse mechanism (materialize the
+    24 B/row pair set once, mirror from storage) is unchanged, so
+    the sf10 posture is preserved."""
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
     # quantized vectors feed the signature pass and both verify
