@@ -63,8 +63,14 @@ def main() -> int:
 
     best = min(runs, key=lambda d: d["same17_sec"])
     best = dict(best)
+    # back-to-back runs see their own self-load in loadavg: the
+    # sitting's idleness is RUN 1's load_start, not the best run's
+    sitting_load = runs[0].get("loadavg_1m_start")
+    best["sitting_load_start"] = sitting_load
     best["note"] = (
-        f"best of {n_runs} back-to-back idle runs; same-17 "
+        f"best of {n_runs} back-to-back idle runs (sitting "
+        f"load_start {sitting_load}; later runs' loadavg is the "
+        f"bench's own self-load); same-17 "
         f"{best['same17_sec']} s = {best['same17_vs_r1']}x the r1 "
         f"baseline ({R1_TOTAL} s). All runs (same17/ratio/load): "
         + "; ".join(
@@ -72,9 +78,9 @@ def main() -> int:
             f"{d.get('loadavg_1m_start')}" for d in runs
         )
     )
-    if best.get("loadavg_1m_start", 99) >= 0.5:
+    if (sitting_load or 99) >= 0.5:
         best["note"] += (
-            " WARNING: best run's load_start >= 0.5 — not a clean "
+            " WARNING: sitting load_start >= 0.5 — not a clean "
             "idle sitting; rerun on an idle host."
         )
     path = os.path.join(_ROOT, f"BENCH_IDLE_r{rnd}.json")
