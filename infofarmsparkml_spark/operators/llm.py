@@ -1356,7 +1356,7 @@ def _knn_join_topk(
         )
         if materialize:
             half = half.localCheckpoint(eager=True)
-        # mirror by union over the persisted pair set: each pair's
+        # mirror by union over the checkpointed pair set: each pair's
         # distance is computed once and contributes to both
         # endpoints' rankings
         verified = half.unionByName(
