@@ -1881,6 +1881,217 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_ivf_pq_topk",
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+q AS (SELECT vec_id, list_transform(e, x -> floor(x * 1048576.0)) AS qv
+      FROM base),
+ranked_ctr AS (
+  SELECT vec_id, qv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM q),
+coarse AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, qv AS ccv
+           FROM ranked_ctr WHERE rn <= 16),
+ctr AS (SELECT CAST(rn - 1 AS INTEGER) AS k, qv AS cv
+        FROM ranked_ctr WHERE rn <= 256),
+sub AS (SELECT CAST(s AS INTEGER) AS s FROM range(8) t(s)),
+cd AS (
+  SELECT v.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(64),
+             j -> (v.qv[j + 1] - c.ccv[j + 1])
+                * (v.qv[j + 1] - c.ccv[j + 1]))) AS BIGINT) AS d2
+  FROM q v, coarse c),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+    FROM cd) WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+    FROM cd WHERE vec_id < 5) WHERE rnk <= 5),
+d AS (
+  SELECT v.vec_id, sub.s, c.k,
+         CAST(list_sum(list_transform(range(8),
+             j -> (v.qv[sub.s * 8 + j + 1] - c.cv[sub.s * 8 + j + 1])
+                * (v.qv[sub.s * 8 + j + 1] - c.cv[sub.s * 8 + j + 1])))
+           AS BIGINT) AS d2
+  FROM q v, sub, ctr c),
+codes AS (
+  SELECT vec_id, s, k AS code FROM (
+    SELECT vec_id, s, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, k) AS rnk
+    FROM d) WHERE rnk = 1),
+qd AS (SELECT vec_id AS qid, s, k, d2 FROM d WHERE vec_id < 5),
+adc AS (
+  SELECT qd.qid, c.vec_id AS cid, SUM(qd.d2) AS adc
+  FROM codes c
+       JOIN assigned a ON a.vec_id = c.vec_id
+       JOIN probes p ON p.cell = a.cell
+       JOIN qd ON qd.qid = p.qid AND qd.s = c.s AND qd.k = c.code
+  WHERE qd.qid <> c.vec_id
+  GROUP BY qd.qid, c.vec_id),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS srn
+    FROM adc) WHERE srn <= 100),
+rer AS (
+  SELECT sl.qid, sl.cid,
+         CAST(list_sum(list_transform(range(64),
+                j -> (qa.qv[j + 1] - qb.qv[j + 1])
+                     * (qa.qv[j + 1] - qb.qv[j + 1]))) AS BIGINT) AS qdist
+  FROM short sl JOIN q qa ON qa.vec_id = sl.qid
+       JOIN q qb ON qb.vec_id = sl.cid),
+ranked AS (
+  SELECT qid, cid, qdist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qdist, cid) AS rn
+  FROM rer)
+SELECT qid, cid,
+       ROUND(sqrt(CAST(qdist AS DOUBLE)) / 1048576.0, 6) AS euclidean,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+""",
+)
+def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN (r15) — the full FAISS-style 100 TB
+    architecture, composed from the two independently hash-proven
+    halves: a 16-cell coarse quantizer partitions the corpus
+    (`llm_ivf_topk`'s md5-deterministic centers, but assignment on
+    the QUANTIZED integers so the whole operator is one arithmetic
+    domain), each query probes its 5 nearest cells, PQ-ADC scores
+    ONLY the probed cells' code rows (`llm_pq_topk`'s 8x256
+    codebooks), and a depth-100 shortlist is exact-reranked. At
+    100 TB this is the shape that actually runs: the scan touches
+    nprobe/ncells of an 8-byte-per-vector CODE table (~5/16 x 32x
+    less than raw floats ~ 1% of corpus bytes), full vectors are
+    read only for |queries| x 100 point lookups, and the cell id is
+    the partition key so a probe is partition pruning, not a
+    filter.
+
+    Spark shape: ONE Arrow-batched numpy pass emits [cell,
+    code0..7] per corpus vector (coarse argmin + per-subspace
+    argmin in the same einsum kernel); the query side emits
+    [probe0..4, tab0..2047] the same way; queries explode on probe
+    cell, broadcast, and join the corpus on the CELL equi-key (no
+    BNLJ — unlike the flat PQ scan, candidate generation here is a
+    hash join on cell); ADC is eight element_at lookups in the join
+    projection; shortlist + rerank as in `llm_pq_topk`. Everything
+    is exact int64, so cells, probes, codes, shortlists and ranks
+    hash-match DuckDB bit-for-bit."""
+    import numpy as _np
+    from pyspark.sql.types import ArrayType, LongType
+
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
+    picks = (
+        quant.select(
+            F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "qv"
+        )
+        .orderBy("m", "vec_id")
+        .limit(256)
+        .collect()
+    )
+    ordered = [
+        r["qv"] for r in sorted(picks, key=lambda r: (r["m"], r["vec_id"]))
+    ]
+    C = _np.asarray(ordered, dtype="int64").reshape(256, 8, 8)
+    cn = (C * C).sum(axis=2)  # (256, 8)
+    G = _np.asarray(ordered[:16], dtype="int64")  # (16, 64) coarse
+    gn = (G * G).sum(axis=1)  # (16,)
+
+    def _coarse_d2(m64: "_np.ndarray") -> "_np.ndarray":
+        # (B, 16) exact int64 full-width distance to coarse centers
+        mn = (m64 * m64).sum(axis=1)
+        return mn[:, None] - 2 * (m64 @ G.T) + gn[None, :]
+
+    def _sub_d2(m: "_np.ndarray") -> "_np.ndarray":
+        mn = (m * m).sum(axis=2)
+        cross = _np.einsum("bsj,ksj->bks", m, C)
+        return mn[:, None, :] - 2 * cross + cn[None, :, :]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _enc(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m64 = _np.asarray(qv.tolist(), dtype="int64")
+        cell = _coarse_d2(m64).argmin(axis=1)  # ties -> smaller cell
+        codes = _sub_d2(m64.reshape(-1, 8, 8)).argmin(axis=1)  # (B, 8)
+        return pd.Series(list(_np.hstack([cell[:, None], codes])))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _qside(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m64 = _np.asarray(qv.tolist(), dtype="int64")
+        cd = _coarse_d2(m64)  # (B, 16)
+        # 5 nearest cells by (d2, cell): stable first-min order
+        probes = _np.argsort(cd, axis=1, kind="stable")[:, :5]
+        tab = (
+            _sub_d2(m64.reshape(-1, 8, 8))
+            .transpose(0, 2, 1)
+            .reshape(len(m64), 2048)
+        )
+        return pd.Series(list(_np.hstack([probes, tab])))
+
+    enc = quant.select("vec_id", _enc("qv").alias("ec")).select(
+        "vec_id",
+        F.col("ec").getItem(0).alias("cell"),
+        F.slice("ec", 2, 8).alias("code"),
+    )
+    qside = (
+        quant.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), _qside("qv").alias("qs"))
+        .select(
+            "qid",
+            F.explode(F.slice("qs", 1, 5)).alias("cell"),
+            F.slice("qs", 6, 2048).alias("tab"),
+        )
+    )
+    adc_col = None
+    for s in range(8):
+        term = F.element_at(
+            F.col("tab"), (F.lit(s * 256 + 1) + F.col("code").getItem(s)).cast("int")
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    cand = enc.join(F.broadcast(qside), "cell").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    ws = W.partitionBy("qid").orderBy("adc", "cid")
+    short = (
+        cand.select("qid", F.col("vec_id").alias("cid"), adc_col.alias("adc"))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 100)
+        .select("qid", "cid")
+    )
+    qvs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    rer = (
+        quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+        .join(F.broadcast(short), "cid")
+        .join(F.broadcast(qvs), "qid")
+        .select("qid", "cid", _qdist("qqv", "cqv").alias("qdist"))
+    )
+    w = W.partitionBy("qid").orderBy("qdist", "cid")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
+            ).alias("euclidean"),
+            "rank",
+        )
+    )
+
+
 @query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language — how a training-data

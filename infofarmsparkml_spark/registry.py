@@ -80,7 +80,7 @@ _PRIORITY: list[str] = [
     # touched since their last row (pagerank/triangles: shared
     # _guarded_vertex_pick r15; semantic_dedup: the r15 fold-kernel
     # revert), then the next-stalest r9 block.
-    "llm_pq_topk",
+    "llm_pq_topk", "llm_ivf_pq_topk",
     "join_spatial_grid", "mm_resize_ppm", "mm_frame_sample",
     "sort_range_partitioned", "events_attribution", "win_pattern_match",
     "events_rfm", "scan_json_permissive", "set_except_all",
@@ -94,10 +94,10 @@ _PRIORITY: list[str] = [
     "llm_temperature_mix", "llm_leakage_safe_split", "llm_dataset_card",
     "llm_dedup_url", "llm_perplexity_bucket", "llm_diversity_sample",
     "ps_pandas_api", "scan_python_datasource", "stream_python_datasource",
-    "llm_dup_substring", "llm_bm25_topk", "scan_xml_roundtrip",
+    "llm_dup_substring", "llm_bm25_topk",
     # ---- position 51+: round-16 queue (next-stalest, pre-queued
     # by scripts/rotate_slate.py on the r15 witness history) ----
-    "sql_parameterized", "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
+    "scan_xml_roundtrip", "sql_parameterized", "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
     "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
     "udf_cogroup_arrow", "win_distinct_running", "win_median_rolling",
     "fn_regexp", "stream_stream_leftouter", "stream_session_append",

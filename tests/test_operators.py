@@ -1852,3 +1852,44 @@ def test_pq_topk_rerank_recall_vs_exact(spark, sf_dir):
     }
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.8, f"PQ rerank recall too low: {recall}"
+
+
+def test_ivf_pq_rerank_recall_vs_exact(spark, sf_dir):
+    """The composite IVF+PQ pipeline probes 5/16 of the corpus, so
+    its recall is bounded by the coarse quantizer's cell recall —
+    on this near-random corpus that measures ~0.52-0.58 across SFs
+    (the locality lift over the 5/16 = 0.31 blind floor comes from
+    queries probing their own neighborhoods' cells). Gate at 0.4,
+    the same family of floor as test_ivf_recall_vs_exact's 0.5."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from infofarmsparkml_spark.operators.llm import (
+        _double_vecs,
+        _qdist,
+        _quantize_vec,
+    )
+
+    got = {
+        (r["qid"], r["cid"])
+        for r in q("llm_ivf_pq_topk")(spark, sf_dir).collect()
+    }
+    quant = _double_vecs(spark, sf_dir, "vec_id", "e").select(
+        "vec_id", _quantize_vec("e").alias("qv")
+    )
+    qs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("va")
+    )
+    cs = quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("vb"))
+    ver = cs.join(F.broadcast(qs), F.col("qid") != F.col("cid")).select(
+        "qid", "cid", _qdist("va", "vb").alias("d")
+    )
+    w = W.partitionBy("qid").orderBy("d", "cid")
+    exact = {
+        (r["qid"], r["cid"])
+        for r in ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.4, f"IVF+PQ recall too low: {recall}"

@@ -1098,3 +1098,17 @@ def test_pq_topk_plan_is_one_scan_broadcast_rerank(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "Broadcast" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_ivf_pq_candidates_are_cell_hash_join(spark, sf_dir):
+    """The composite's 100-TB property, pinned: candidate
+    generation is an EQUI-join on the coarse cell id (broadcast
+    hash probe — unlike the flat PQ scan there is no
+    nested-loop anywhere), the encode is one Arrow-batched pass,
+    and nothing degrades to a cartesian or a corpus sort."""
+    plan = explain_str(q("llm_ivf_pq_topk")(spark, sf_dir), "simple")
+    assert "ArrowEvalPython" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
