@@ -46,6 +46,32 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+_SOURCE_OPTIONS: dict[str, str] = {}
+
+
+class source_options:
+    """Scope extra reader options onto every `read_events_stream`
+    (r16, VERDICT r15 #5): e.g. ``source_options(
+    maxFilesPerTrigger="1")`` makes an `availableNow` run split its
+    work into one micro-batch per input file instead of one big
+    batch, which is how tests witness that aggregation/dedup/session
+    STATE survives trigger boundaries — the property a continuous
+    production stream relies on every trigger. Options apply to the
+    file source uniformly; semantics of the query must not depend on
+    them (that is exactly what the multi-batch witnesses assert)."""
+
+    def __init__(self, **options: str):
+        self.options = options
+
+    def __enter__(self):
+        self.prev = dict(_SOURCE_OPTIONS)
+        _SOURCE_OPTIONS.update(self.options)
+
+    def __exit__(self, *exc):
+        _SOURCE_OPTIONS.clear()
+        _SOURCE_OPTIONS.update(self.prev)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture, normalized to a µs
     TimestampType identically to the batch catalog.
@@ -65,17 +91,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import _set_nanos_as_long
 
     _set_nanos_as_long(spark)
-    probed = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    probed = dict(spark.read.parquet(f"{sf_dir}/events*.parquet").dtypes)["ts"]
+    # "events*.parquet": the sf fixtures match only events.parquet;
+    # the multi-batch witnesses feed a tmp dir of events{0..n}.parquet
+    # splits of the same rows (r16)
     if probed == "bigint":
         raw = (
             spark.readStream.schema(_events_raw_schema(T.LongType()))
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", "events*.parquet")
+            .options(**_SOURCE_OPTIONS)
             .parquet(sf_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
         spark.readStream.schema(_events_raw_schema(T.TimestampNTZType()))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .options(**_SOURCE_OPTIONS)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

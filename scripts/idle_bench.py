@@ -8,8 +8,10 @@ headline list has since grown to 20) as BENCH_IDLE_r{N}.json in the
 same shape as bench.py's line plus the ratio fields.
 
 Usage: python scripts/idle_bench.py [round_number] [n_runs=4]
-Refuses to stamp the artifact if load_start >= 0.5 on the best run
-(records it anyway with a warning note so the attempt is visible).
+Always writes the artifact; if sitting load_start is missing or
+>= 0.5 it carries a 'not a clean idle sitting' warning note so the
+attempt is visible but clearly marked (ADVICE r15: 0.0 is a valid
+clean reading, not a missing one).
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def main() -> int:
             f"{d.get('loadavg_1m_start')}" for d in runs
         )
     )
-    if (sitting_load or 99) >= 0.5:
+    if sitting_load is None or sitting_load >= 0.5:
         best["note"] += (
             " WARNING: sitting load_start >= 0.5 — not a clean "
             "idle sitting; rerun on an idle host."
