@@ -1959,9 +1959,135 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_ivf_pq_topk",
-    oracle="""
+def _ivf_pq_enc_qside(spark: SparkSession, sf_dir: str):
+    """Stages 1-2 of the IVF+PQ pipeline, shared by
+    `llm_ivf_pq_topk` (joins the codes in-plan) and
+    `llm_ivf_pq_partitioned` (persists the codes as a cell-
+    partitioned parquet index first): returns (quant, enc, qside)
+    where enc = [vec_id, cell, code0..7] (one Arrow pass: coarse
+    argmin + residual sub-codes) and qside = one row per (query,
+    probed cell) carrying that cell's 2048-entry residual ADC
+    table."""
+    import numpy as _np
+    from pyspark.sql.types import ArrayType, LongType
+
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
+    P = _np.asarray(_pq_picks(quant), dtype="int64")  # (256, 64)
+    G = P[:16]  # (16, 64) coarse centers = the pick prefix
+    gn = (G * G).sum(axis=1)  # (16,)
+
+    def _coarse_d2(m64: "_np.ndarray") -> "_np.ndarray":
+        # (B, 16) exact int64 full-width distance to coarse centers
+        mn = (m64 * m64).sum(axis=1)
+        return mn[:, None] - 2 * (m64 @ G.T) + gn[None, :]
+
+    # residual codebook: each pick minus ITS OWN assigned center
+    # (ties -> smaller cell, same as the oracle's ORDER BY d2, cell)
+    pick_cell = _coarse_d2(P).argmin(axis=1)
+    C = (P - G[pick_cell]).reshape(256, 8, 8)
+    _sub_d2 = _pq_sub_d2(C)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _enc(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m64 = _np.asarray(qv.tolist(), dtype="int64")
+        cell = _coarse_d2(m64).argmin(axis=1)  # ties -> smaller cell
+        res = (m64 - G[cell]).reshape(-1, 8, 8)
+        codes = _sub_d2(res).argmin(axis=1)  # (B, 8)
+        return pd.Series(list(_np.hstack([cell[:, None], codes])))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _qside(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m64 = _np.asarray(qv.tolist(), dtype="int64")
+        cd = _coarse_d2(m64)  # (B, 16)
+        # 5 nearest cells by (d2, cell): stable first-min order
+        probes = _np.argsort(cd, axis=1, kind="stable")[:, :5]
+        blocks = []
+        for i in range(5):
+            cells_i = probes[:, i]
+            res = (m64 - G[cells_i]).reshape(-1, 8, 8)
+            tab = _sub_d2(res).transpose(0, 2, 1).reshape(len(m64), 2048)
+            blocks.append(_np.hstack([cells_i[:, None], tab]))
+        return pd.Series(list(_np.hstack(blocks)))  # (B, 5*2049)
+
+    enc = quant.select("vec_id", _enc("qv").alias("ec")).select(
+        "vec_id",
+        F.col("ec").getItem(0).alias("cell"),
+        F.slice("ec", 2, 8).alias("code"),
+    )
+    probe_blocks = F.array(
+        *[
+            F.struct(
+                F.element_at(F.col("qs"), i * 2049 + 1).alias("cell"),
+                F.slice("qs", i * 2049 + 2, 2048).alias("tab"),
+            )
+            for i in range(5)
+        ]
+    )
+    qside = (
+        quant.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), _qside("qv").alias("qs"))
+        .select("qid", F.explode(probe_blocks).alias("p"))
+        .select(
+            "qid", F.col("p.cell").alias("cell"), F.col("p.tab").alias("tab")
+        )
+    )
+    return quant, enc, qside
+
+
+def _ivf_pq_rank(quant: DataFrame, enc: DataFrame, qside: DataFrame):
+    """Stages 3-5 of the IVF+PQ pipeline: cell-equi-join candidate
+    generation (hash join, no BNLJ), 8-lookup ADC in the join
+    projection, depth-100 shortlist, exact rerank, top-10."""
+    adc_col = None
+    for s in range(8):
+        term = F.element_at(
+            F.col("tab"),
+            (F.lit(s * 256 + 1) + F.col("code").getItem(s)).cast("int"),
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    cand = enc.join(F.broadcast(qside), "cell").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    ws = W.partitionBy("qid").orderBy("adc", "cid")
+    short = (
+        cand.select("qid", F.col("vec_id").alias("cid"), adc_col.alias("adc"))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 100)
+        .select("qid", "cid")
+    )
+    qvs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    rer = (
+        quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+        .join(F.broadcast(short), "cid")
+        .join(F.broadcast(qvs), "qid")
+        .select("qid", "cid", _qdist("qqv", "cqv").alias("qdist"))
+    )
+    w = W.partitionBy("qid").orderBy("qdist", "cid")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
+            ).alias("euclidean"),
+            "rank",
+        )
+    )
+
+
+# shared by llm_ivf_pq_topk and llm_ivf_pq_partitioned (identical
+# results by construction: the partitioned variant only changes the
+# STORAGE of the code table, never a value)
+_IVF_PQ_ORACLE = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings),
 q AS (SELECT vec_id, list_transform(e, x -> floor(x * 1048576.0)) AS qv
@@ -2050,8 +2176,10 @@ SELECT qid, cid,
        ROUND(sqrt(CAST(qdist AS DOUBLE)) / 1048576.0, 6) AS euclidean,
        CAST(rn AS INTEGER) AS rank
 FROM ranked WHERE rn <= 10
-""",
-)
+"""
+
+
+@query("llm_ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
 def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composite ANN (r15, RESIDUAL-encoded r16) — the full
     FAISS-style 100 TB architecture: a 16-cell coarse quantizer
@@ -2106,111 +2234,46 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank as in `llm_pq_topk`. Everything is exact int64, so
     cells, probes, codes, shortlists and ranks hash-match DuckDB
     bit-for-bit."""
-    import numpy as _np
-    from pyspark.sql.types import ArrayType, LongType
+    quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir)
+    return _ivf_pq_rank(quant, enc, qside)
 
-    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
-    quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
-    P = _np.asarray(_pq_picks(quant), dtype="int64")  # (256, 64)
-    G = P[:16]  # (16, 64) coarse centers = the pick prefix
-    gn = (G * G).sum(axis=1)  # (16,)
 
-    def _coarse_d2(m64: "_np.ndarray") -> "_np.ndarray":
-        # (B, 16) exact int64 full-width distance to coarse centers
-        mn = (m64 * m64).sum(axis=1)
-        return mn[:, None] - 2 * (m64 @ G.T) + gn[None, :]
+@query("llm_ivf_pq_partitioned", oracle=_IVF_PQ_ORACLE)
+def llm_ivf_pq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ over a MATERIALIZED cell-partitioned code index (r16)
+    — makes `llm_ivf_pq_topk`'s "the cell id is the partition key so
+    a probe is partition pruning" claim physical instead of
+    analytical. The encoder's [vec_id, cell, code] table is written
+    once as parquet `partitionBy("cell")` (at 100 TB: the persisted
+    ANN index, 8 code bytes + id per vector, rewritten only when the
+    codebook retrains), and the probe side becomes a STATIC
+    partition filter: the 5 queries' probed cells are collected
+    (a <= 25-element driver list — probes are per-query plan
+    constants, exactly what an index lookup knows up front) and
+    pushed as `cell IN (...)`, so the scan lists and reads ONLY the
+    probed cells' directories — PartitionFilters in the plan,
+    pinned by tests/test_plans.py::
+    test_ivf_pq_partitioned_prunes_partitions. Downstream is the
+    shared `_ivf_pq_rank`, and results are value-identical to
+    `llm_ivf_pq_topk` (same oracle, hash-checked independently).
+    The index lands under the session's warehouse dir keyed by
+    md5(sf_dir) so concurrent SFs never collide; rewrite is
+    `overwrite` — idempotent re-runs."""
+    import hashlib as _hashlib
 
-    # residual codebook: each pick minus ITS OWN assigned center
-    # (ties -> smaller cell, same as the oracle's ORDER BY d2, cell)
-    pick_cell = _coarse_d2(P).argmin(axis=1)
-    C = (P - G[pick_cell]).reshape(256, 8, 8)
-    _sub_d2 = _pq_sub_d2(C)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _enc(qv: pd.Series) -> pd.Series:
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        m64 = _np.asarray(qv.tolist(), dtype="int64")
-        cell = _coarse_d2(m64).argmin(axis=1)  # ties -> smaller cell
-        res = (m64 - G[cell]).reshape(-1, 8, 8)
-        codes = _sub_d2(res).argmin(axis=1)  # (B, 8)
-        return pd.Series(list(_np.hstack([cell[:, None], codes])))
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _qside(qv: pd.Series) -> pd.Series:
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        m64 = _np.asarray(qv.tolist(), dtype="int64")
-        cd = _coarse_d2(m64)  # (B, 16)
-        # 5 nearest cells by (d2, cell): stable first-min order
-        probes = _np.argsort(cd, axis=1, kind="stable")[:, :5]
-        blocks = []
-        for i in range(5):
-            cells_i = probes[:, i]
-            res = (m64 - G[cells_i]).reshape(-1, 8, 8)
-            tab = _sub_d2(res).transpose(0, 2, 1).reshape(len(m64), 2048)
-            blocks.append(_np.hstack([cells_i[:, None], tab]))
-        return pd.Series(list(_np.hstack(blocks)))  # (B, 5*2049)
-
-    enc = quant.select("vec_id", _enc("qv").alias("ec")).select(
-        "vec_id",
-        F.col("ec").getItem(0).alias("cell"),
-        F.slice("ec", 2, 8).alias("code"),
+    quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir)
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{spark.conf.get('spark.sql.warehouse.dir')}/ifsml_pq_index_{tag}"
+    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+    probe_cells = sorted(
+        {int(r["cell"]) for r in qside.select("cell").distinct().collect()}
     )
-    probe_blocks = F.array(
-        *[
-            F.struct(
-                F.element_at(F.col("qs"), i * 2049 + 1).alias("cell"),
-                F.slice("qs", i * 2049 + 2, 2048).alias("tab"),
-            )
-            for i in range(5)
-        ]
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "code")
     )
-    qside = (
-        quant.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("qid"), _qside("qv").alias("qs"))
-        .select("qid", F.explode(probe_blocks).alias("p"))
-        .select("qid", F.col("p.cell").alias("cell"), F.col("p.tab").alias("tab"))
-    )
-    adc_col = None
-    for s in range(8):
-        term = F.element_at(
-            F.col("tab"), (F.lit(s * 256 + 1) + F.col("code").getItem(s)).cast("int")
-        )
-        adc_col = term if adc_col is None else adc_col + term
-    cand = enc.join(F.broadcast(qside), "cell").filter(
-        F.col("qid") != F.col("vec_id")
-    )
-    ws = W.partitionBy("qid").orderBy("adc", "cid")
-    short = (
-        cand.select("qid", F.col("vec_id").alias("cid"), adc_col.alias("adc"))
-        .withColumn("srn", F.row_number().over(ws))
-        .filter(F.col("srn") <= 100)
-        .select("qid", "cid")
-    )
-    qvs = quant.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
-    )
-    rer = (
-        quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
-        .join(F.broadcast(short), "cid")
-        .join(F.broadcast(qvs), "qid")
-        .select("qid", "cid", _qdist("qqv", "cqv").alias("qdist"))
-    )
-    w = W.partitionBy("qid").orderBy("qdist", "cid")
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "qid",
-            "cid",
-            F.round(
-                F.sqrt(F.col("qdist").cast("double")) / 1048576.0, 6
-            ).alias("euclidean"),
-            "rank",
-        )
-    )
-
+    return _ivf_pq_rank(quant, idx, qside)
 
 @query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,34 +70,18 @@ _PRIORITY: list[str] = [
     # sentinels (driver-PASS every round r1-r14; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-15 slate (VERDICT r14 #6): the r15 newcomer first
+    # round-16 slate (VERDICT r15 #2: the 23 rows-only queries'
+    # witnesses were the registry's stalest, all r9/r10 — this
+    # slate retires that tail): the r16 newcomer first
     # (never-witnessed queries lead, per the r2-r10 convention),
-    # then the stalest-witness-first queue from
-    # scripts/rotate_slate.py —
-    # the r4/r5-era cohort (spatial grid, multimodal resize/frame,
-    # events composites, ts tail, fn packs, exactly-once file
-    # sink), then the graph/curation re-witnesses whose code was
-    # touched since their last row (pagerank/triangles: shared
-    # _guarded_vertex_pick r15; semantic_dedup: the r15 fold-kernel
-    # revert), then the next-stalest r9 block.
-    "llm_pq_topk", "llm_ivf_pq_topk",
-    "join_spatial_grid", "mm_resize_ppm", "mm_frame_sample",
-    "sort_range_partitioned", "events_attribution", "win_pattern_match",
-    "events_rfm", "scan_json_permissive", "set_except_all",
-    "set_intersect_all", "ts_ewma", "ts_rolling_corr", "ts_trend_slope",
-    "ts_seasonal_decompose", "fn_date_spark", "fn_bitwise", "fn_trig",
-    "fn_collation", "stream_file_sink_exactly_once", "stream_ewma",
-    "agg_count_min_topk", "etl_merge_upsert", "etl_cdc_apply",
-    "dq_observe_metrics", "graph_pagerank", "graph_triangles",
-    "llm_semantic_dedup", "llm_quality_classifier", "llm_dedup_cascade",
-    "graph_cc_star", "graph_kcore", "join_runtime_bloom",
-    "llm_temperature_mix", "llm_leakage_safe_split", "llm_dataset_card",
-    "llm_dedup_url", "llm_perplexity_bucket", "llm_diversity_sample",
-    "ps_pandas_api", "scan_python_datasource", "stream_python_datasource",
-    "llm_dup_substring", "llm_bm25_topk",
-    # ---- position 51+: round-16 queue (next-stalest, pre-queued
-    # by scripts/rotate_slate.py on the r15 witness history) ----
-    "scan_xml_roundtrip", "sql_parameterized", "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
+    # then stalest-witness-first from scripts/rotate_slate.py —
+    # the r9 cohort (sql/ts/tpch/udf/win re-witnesses), then the
+    # whole r10 rows-only block (ml_* trained models, sketches,
+    # seeded samplers, mm_audio_features). stream_session_append
+    # and llm_ivf_topk (the r16-refactor-touched ops) ride along.
+    "llm_ivf_topk_trained", "llm_ivf_pq_partitioned", "scan_xml_roundtrip",
+    "sql_parameterized",
+    "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
     "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
     "udf_cogroup_arrow", "win_distinct_running", "win_median_rolling",
     "fn_regexp", "stream_stream_leftouter", "stream_session_append",
@@ -106,7 +90,21 @@ _PRIORITY: list[str] = [
     "llm_stratified_sample", "join_skew_salted", "llm_curation_pipeline",
     "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
     "ml_eval_trained", "ml_decision_tree", "ml_random_forest",
-    "ml_naive_bayes",
+    "ml_naive_bayes", "ml_word2vec", "ml_crossval", "ml_gbt",
+    "ml_svm_linear", "ml_cluster_gmm", "ml_cluster_bisecting",
+    "ml_topic_lda", "ml_isotonic", "ml_pipeline_save_load",
+    # ---- position 51+: round-17 queue (next-stalest, pre-queued
+    # by scripts/rotate_slate.py on the r15 witness history) ----
+    "mm_audio_features",
+    "sample_tablesample", "ts_outlier_mad", "fn_hash_spark",
+    "fn_aes_roundtrip", "stream_stateful_tws", "stream_stream_fullouter",
+    "agg_distinct", "agg_stats", "agg_rollup", "agg_having",
+    "agg_conditional", "agg_bool", "agg_corr_pairs", "agg_approx_top_k",
+    "agg_string_agg", "agg_unpivot", "dq_profile", "dq_skew_report",
+    "project_arith", "filter_conj", "filter_null", "filter_like",
+    "filter_between_in", "case_when", "graph_degree", "llm_ivf_topk",
+    "llm_stratified_sample_hash", "graph_kcore_exact", "join_outer_left",
+    "join_outer_right", "join_outer_full", "join_semi",
 ]
 
 

