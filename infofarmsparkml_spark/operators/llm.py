@@ -2189,10 +2189,17 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY the probed cells' code rows, and a depth-100 shortlist is
     exact-reranked. At 100 TB this is the shape that actually runs:
     the scan touches nprobe/ncells of an 8-byte-per-vector CODE
-    table (~5/16 x 32x less than raw floats ~ 1% of corpus bytes),
-    full vectors are read only for |queries| x 100 point lookups,
-    and the cell id is the partition key so a probe is partition
-    pruning, not a filter.
+    table, full vectors are read only for |queries| x 100 point
+    lookups, and the cell id is the partition key so a probe is
+    partition pruning, not a filter (made physical by
+    `llm_ivf_pq_partitioned`). MEASURED, not analytical
+    (PQ_SMOKE_r16.json, cold fresh-JVM, 100k/400k/1.6M clustered
+    vectors): probed bytes = 3.7-4.9% of raw corpus bytes at
+    24 B/code-row accounting — ABOVE the blind 5/16 x 8/256 ~ 1%
+    because real (clustered) corpora have skewed cells and queries
+    preferentially probe the dense ones (candidate fraction
+    0.40-0.52 vs the 0.31 balanced floor); wall grows sub-linearly
+    (x2.8/x3.3 per x4 N).
 
     r16 (VERDICT r15 #1): codes encode the RESIDUAL v - center(cell)
     instead of the raw vector (Jegou et al. 2011's IVFADC). Because

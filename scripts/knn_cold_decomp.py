@@ -37,6 +37,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -54,7 +56,6 @@ def child(sf_dir: str, prewarm: bool) -> None:
 
     if prewarm:
         t0 = time.time()
-        import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
