@@ -2271,7 +2271,14 @@ def llm_ivf_pq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir)
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{spark.conf.get('spark.sql.warehouse.dir')}/ifsml_pq_index_{tag}"
-    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+    try:
+        enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+    except Exception:
+        # a driver session may point the warehouse at a non-writable
+        # location; the index is session-scoped scratch, so /tmp is
+        # an equivalent home for it
+        path = f"/tmp/ifsml_pq_index_{tag}"
+        enc.write.partitionBy("cell").mode("overwrite").parquet(path)
     probe_cells = sorted(
         {int(r["cell"]) for r in qside.select("cell").distinct().collect()}
     )
