@@ -1775,16 +1775,36 @@ def _pq_sub_d2(C):
     (256, 8, 8) int64 codebook, return the (B, 8, 8) -> (B, 256, 8)
     exact int64 per-subspace squared-distance kernel, via the
     expansion |m|^2 - 2 m.c + |c|^2 (never the (B,256,8,8)
-    difference tensor). Magnitudes: |sub-dot| <= 8 * (2.4e6)^2
-    ~ 4.6e13 — exact in int64 and in the oracle's doubles."""
+    difference tensor).
+
+    r16: the cross term runs as 8 float64 DGEMMs instead of an
+    int64 einsum — numpy has no BLAS path for integer matmul, so
+    the einsum was a slow C loop and dominated the encode pass at
+    scale (PQ_SMOKE_r16's profile; measured 3.7x on the kernel).
+    This is still EXACT: inputs are quantized-grid integers
+    |x| <= 2.4e6, so every product <= 5.8e12, every 8-term
+    sub-dot <= 4.6e13 and the assembled d2 <= ~1.8e14 — all far
+    below 2^53, where float64 arithmetic on integers is exact
+    regardless of summation order; the final int64 cast
+    round-trips. Unit-pinned bit-equal to the int64 form in
+    tests/test_operators.py::test_pq_sub_d2_f64_kernel_exact."""
     import numpy as _np
 
-    cn = (C * C).sum(axis=2)  # (256, 8)
+    cn = (C * C).sum(axis=2)  # (256, 8) int64
+    Cf = C.astype("float64")
 
     def _sub_d2(m):
-        mn = (m * m).sum(axis=2)  # (B, 8)
-        cross = _np.einsum("bsj,ksj->bks", m, C)  # (B, 256, 8)
-        return mn[:, None, :] - 2 * cross + cn[None, :, :]
+        mn = (m * m).sum(axis=2)  # (B, 8) int64
+        mf = m.astype("float64")
+        cross = _np.empty((len(m), len(Cf), 8))
+        for s in range(8):
+            cross[:, :, s] = mf[:, s, :] @ Cf[:, s, :].T  # DGEMM
+        out = (
+            mn[:, None, :].astype("float64")
+            - 2.0 * cross
+            + cn[None, :, :].astype("float64")
+        )
+        return out.astype("int64")
 
     return _sub_d2
 

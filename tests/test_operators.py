@@ -2019,6 +2019,38 @@ def test_ivf_pq_residual_recall_clustered(spark, tmp_path):
     assert recall >= 0.8, f"clustered IVF+PQ recall too low: {recall}"
 
 
+def test_pq_sub_d2_f64_kernel_exact():
+    """r16: `_pq_sub_d2`'s cross term moved to float64 DGEMMs for
+    BLAS speed (3.7x measured). Pin bit-equality against the naive
+    int64 einsum across the full quantized-grid magnitude range
+    (|x| <= 2.4e6 — products <= 5.8e12, d2 <= ~1.8e14, all < 2^53
+    where f64 integer arithmetic is exact)."""
+    import numpy as np
+
+    from infofarmsparkml_spark.operators.llm import _pq_sub_d2
+
+    rng = np.random.default_rng(99)
+    C = rng.integers(-2_400_000, 2_400_001, size=(256, 8, 8)).astype(
+        "int64"
+    )
+    m = rng.integers(-2_400_000, 2_400_001, size=(500, 8, 8)).astype(
+        "int64"
+    )
+    # include exact extremes (worst-case magnitudes)
+    m[0, :, :] = 2_400_000
+    m[1, :, :] = -2_400_000
+    C[0, :, :] = -2_400_000
+    got = _pq_sub_d2(C)(m)
+    cn = (C * C).sum(axis=2)
+    ref = (
+        (m * m).sum(axis=2)[:, None, :]
+        - 2 * np.einsum("bsj,ksj->bks", m, C)
+        + cn[None, :, :]
+    )
+    assert got.dtype == np.int64
+    assert np.array_equal(got, ref)
+
+
 def test_pq_codebook_requires_256_vectors(spark, tmp_path):
     """ADVICE r15: a corpus smaller than the codebook used to die
     with numpy's bare reshape ValueError while the oracle silently
