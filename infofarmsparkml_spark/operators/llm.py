@@ -1777,34 +1777,27 @@ def _pq_sub_d2(C):
     expansion |m|^2 - 2 m.c + |c|^2 (never the (B,256,8,8)
     difference tensor).
 
-    r16: the cross term runs as 8 float64 DGEMMs instead of an
-    int64 einsum — numpy has no BLAS path for integer matmul, so
-    the einsum was a slow C loop and dominated the encode pass at
-    scale (PQ_SMOKE_r16's profile; measured 3.7x on the kernel).
-    This is still EXACT: inputs are quantized-grid integers
-    |x| <= 2.4e6, so every product <= 5.8e12, every 8-term
-    sub-dot <= 4.6e13 and the assembled d2 <= ~1.8e14 — all far
-    below 2^53, where float64 arithmetic on integers is exact
-    regardless of summation order; the final int64 cast
-    round-trips. Unit-pinned bit-equal to the int64 form in
-    tests/test_operators.py::test_pq_sub_d2_f64_kernel_exact."""
+    Kernel-choice note (r16, measured): a float64-DGEMM rewrite of
+    the cross term (mathematically exact here — all magnitudes
+    < 2^53) benchmarked 3.7x FASTER standalone but 7x SLOWER inside
+    the Spark workers (warm same-session A/B at 1.6M vectors:
+    int64 einsum 8.3 s vs f64 60.6 s for the full encode stage) —
+    the k=8 skinny DGEMMs are memory-bound, the strided
+    `cross[:,:,s]` writes scatter, and the f64 path triples the
+    (B,256,8) allocations; the standalone microbench that favored
+    it ran on a loaded host. The einsum writes contiguously and
+    fuses — keep it; `tests/test_operators.py::
+    test_pq_sub_d2_f64_kernel_exact` pins the exactness argument
+    either way so the DGEMM option stays one safe edit away if a
+    BLAS-friendly shape ever appears."""
     import numpy as _np
 
-    cn = (C * C).sum(axis=2)  # (256, 8) int64
-    Cf = C.astype("float64")
+    cn = (C * C).sum(axis=2)  # (256, 8)
 
     def _sub_d2(m):
-        mn = (m * m).sum(axis=2)  # (B, 8) int64
-        mf = m.astype("float64")
-        cross = _np.empty((len(m), len(Cf), 8))
-        for s in range(8):
-            cross[:, :, s] = mf[:, s, :] @ Cf[:, s, :].T  # DGEMM
-        out = (
-            mn[:, None, :].astype("float64")
-            - 2.0 * cross
-            + cn[None, :, :].astype("float64")
-        )
-        return out.astype("int64")
+        mn = (m * m).sum(axis=2)  # (B, 8)
+        cross = _np.einsum("bsj,ksj->bks", m, C)  # (B, 256, 8)
+        return mn[:, None, :] - 2 * cross + cn[None, :, :]
 
     return _sub_d2
 

@@ -2020,11 +2020,14 @@ def test_ivf_pq_residual_recall_clustered(spark, tmp_path):
 
 
 def test_pq_sub_d2_f64_kernel_exact():
-    """r16: `_pq_sub_d2`'s cross term moved to float64 DGEMMs for
-    BLAS speed (3.7x measured). Pin bit-equality against the naive
-    int64 einsum across the full quantized-grid magnitude range
-    (|x| <= 2.4e6 — products <= 5.8e12, d2 <= ~1.8e14, all < 2^53
-    where f64 integer arithmetic is exact)."""
+    """Pins the exactness envelope of `_pq_sub_d2` (int64 einsum —
+    kept after the r16 in-situ A/B showed the f64-DGEMM rewrite 7x
+    slower in Spark workers despite a 3.7x standalone microbench;
+    see the kernel's docstring): the int64 result must bit-equal an
+    all-float64 evaluation across the full quantized-grid magnitude
+    range (|x| <= 2.4e6 — products <= 5.8e12, d2 <= ~1.8e14, all
+    < 2^53 where f64 integer arithmetic is exact), so EITHER kernel
+    form is safe and the DuckDB double-arithmetic oracle agrees."""
     import numpy as np
 
     from infofarmsparkml_spark.operators.llm import _pq_sub_d2
@@ -2041,12 +2044,17 @@ def test_pq_sub_d2_f64_kernel_exact():
     m[1, :, :] = -2_400_000
     C[0, :, :] = -2_400_000
     got = _pq_sub_d2(C)(m)
-    cn = (C * C).sum(axis=2)
+    # all-f64 reference: the DGEMM form (and how DuckDB's doubles
+    # evaluate the same expansion)
+    Cf, mf = C.astype("float64"), m.astype("float64")
+    cross = np.empty((len(m), 256, 8))
+    for s in range(8):
+        cross[:, :, s] = mf[:, s, :] @ Cf[:, s, :].T
     ref = (
-        (m * m).sum(axis=2)[:, None, :]
-        - 2 * np.einsum("bsj,ksj->bks", m, C)
-        + cn[None, :, :]
-    )
+        (mf * mf).sum(axis=2)[:, None, :]
+        - 2.0 * cross
+        + (Cf * Cf).sum(axis=2)[None, :, :]
+    ).astype("int64")
     assert got.dtype == np.int64
     assert np.array_equal(got, ref)
 
