@@ -1972,22 +1972,27 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_enc_qside(spark: SparkSession, sf_dir: str):
+def _ivf_pq_enc_qside(spark: SparkSession, sf_dir: str, centers=None):
     """Stages 1-2 of the IVF+PQ pipeline, shared by
-    `llm_ivf_pq_topk` (joins the codes in-plan) and
+    `llm_ivf_pq_topk` (joins the codes in-plan),
     `llm_ivf_pq_partitioned` (persists the codes as a cell-
-    partitioned parquet index first): returns (quant, enc, qside)
-    where enc = [vec_id, cell, code0..7] (one Arrow pass: coarse
-    argmin + residual sub-codes) and qside = one row per (query,
-    probed cell) carrying that cell's 2048-entry residual ADC
-    table."""
+    partitioned parquet index first) and `llm_ivf_pq_trained`
+    (k-means coarse centers via ``centers``): returns (quant, enc,
+    qside) where enc = [vec_id, cell, code0..7] (one Arrow pass:
+    coarse argmin + residual sub-codes) and qside = one row per
+    (query, probed cell) carrying that cell's 2048-entry residual
+    ADC table. ``centers``: optional (16, 64) int64 quantized-grid
+    coarse centers; default = the md5-pick prefix (the
+    hash-checkable coin)."""
     import numpy as _np
     from pyspark.sql.types import ArrayType, LongType
 
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
     quant = emb.select("vec_id", _quantize_vec("e").alias("qv"))
     P = _np.asarray(_pq_picks(quant), dtype="int64")  # (256, 64)
-    G = P[:16]  # (16, 64) coarse centers = the pick prefix
+    # (16, 64) coarse centers: md5-pick prefix unless trained ones
+    # are supplied
+    G = P[:16] if centers is None else _np.asarray(centers, dtype="int64")
     gn = (G * G).sum(axis=1)  # (16,)
 
     def _coarse_d2(m64: "_np.ndarray") -> "_np.ndarray":
@@ -2301,6 +2306,42 @@ def llm_ivf_pq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell").cast("long").alias("cell"), "code")
     )
     return _ivf_pq_rank(quant, idx, qside)
+
+
+@query("llm_ivf_pq_trained")  # trained coarse centroids: rows-only
+def llm_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PRODUCTION IVF+PQ composite (r16): seeded MLlib
+    k-means coarse centers (k=16, seed=42 — `llm_ivf_topk_trained`'s
+    quantizer) + the residual-PQ code/ADC/shortlist/rerank pipeline
+    (`llm_ivf_pq_topk`'s stages, shared verbatim via
+    `_ivf_pq_enc_qside(centers=...)`). The trained centers are
+    snapped onto the same 2^20 quantized grid (floor, the exact
+    `_quantize_vec` rule), so the entire pipeline stays one exact
+    int64 arithmetic domain — determinism and recall are test-pinned
+    (clustered fixture >= 0.9) even though no SQL engine can
+    reproduce Lloyd-iterated centroids (hence rows-only, like every
+    trained twin). This completes the twin matrix the r15/r16
+    verdicts asked for: md5 coins keep every architecture
+    hash-checkable (llm_ivf_topk / llm_ivf_pq_topk /
+    llm_ivf_pq_partitioned), trained twins document what production
+    runs and what recall it buys (llm_ivf_topk_trained /
+    llm_ivf_pq_trained), and the coarse quantizer — not the code
+    format — is the recall lever the measurements identified."""
+    import numpy as _np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _double_vecs(spark, sf_dir, "vec_id", "e")
+    km = KMeans(
+        featuresCol="features", k=16, seed=42, maxIter=20, initSteps=2
+    ).fit(emb.withColumn("features", array_to_vector("e")))
+    centers = _np.floor(
+        _np.asarray([_np.asarray(c) for c in km.clusterCenters()])
+        * 1048576.0
+    ).astype("int64")
+    quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir, centers=centers)
+    return _ivf_pq_rank(quant, enc, qside)
 
 @query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

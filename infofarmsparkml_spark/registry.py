@@ -79,7 +79,8 @@ _PRIORITY: list[str] = [
     # whole r10 rows-only block (ml_* trained models, sketches,
     # seeded samplers, mm_audio_features). stream_session_append
     # and llm_ivf_topk (the r16-refactor-touched ops) ride along.
-    "llm_ivf_topk_trained", "llm_ivf_pq_partitioned", "scan_xml_roundtrip",
+    "llm_ivf_topk_trained", "llm_ivf_pq_partitioned", "llm_ivf_pq_trained",
+    "scan_xml_roundtrip",
     "sql_parameterized",
     "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
     "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
@@ -92,10 +93,10 @@ _PRIORITY: list[str] = [
     "ml_eval_trained", "ml_decision_tree", "ml_random_forest",
     "ml_naive_bayes", "ml_word2vec", "ml_crossval", "ml_gbt",
     "ml_svm_linear", "ml_cluster_gmm", "ml_cluster_bisecting",
-    "ml_topic_lda", "ml_isotonic", "ml_pipeline_save_load",
+    "ml_topic_lda", "ml_isotonic",
     # ---- position 51+: round-17 queue (next-stalest, pre-queued
     # by scripts/rotate_slate.py on the r15 witness history) ----
-    "mm_audio_features",
+    "ml_pipeline_save_load", "mm_audio_features",
     "sample_tablesample", "ts_outlier_mad", "fn_hash_spark",
     "fn_aes_roundtrip", "stream_stateful_tws", "stream_stream_fullouter",
     "agg_distinct", "agg_stats", "agg_rollup", "agg_having",

@@ -342,10 +342,10 @@ def test_ivf_trained_beats_md5_centers(spark, sf_dir):
     assert recall >= 0.55, f"trained IVF recall too low: {recall}"
 
 
-def test_ivf_trained_recall_clustered(spark, tmp_path):
-    """On a clustered corpus (25 gaussian clusters x 80, the regime
-    IVF exists for) trained centers align cells with real structure:
-    recall@10 gated >= 0.9 (measured 1.0)."""
+def _write_clustered_embeddings(tmp_path) -> str:
+    """The shared clustered ANN fixture (25 gaussian clusters x 80
+    points, 64 dims, noise 0.04 vs center scale 0.6 — the regime
+    IVF/PQ exist for), deterministic under a fixed seed."""
     import numpy as np
     import pandas as pd
 
@@ -365,7 +365,13 @@ def test_ivf_trained_recall_clustered(spark, tmp_path):
             ),
         }
     ).to_parquet(tmp_path / "embeddings.parquet", index=False)
-    d = str(tmp_path)
+    return str(tmp_path)
+
+
+def test_ivf_trained_recall_clustered(spark, tmp_path):
+    """On a clustered corpus trained centers align cells with real
+    structure: recall@10 gated >= 0.9 (measured 1.0)."""
+    d = _write_clustered_embeddings(tmp_path)
     exact = {
         (r["qid"], r["cid"]) for r in q("llm_cosine_topk")(spark, d).collect()
     }
@@ -375,6 +381,51 @@ def test_ivf_trained_recall_clustered(spark, tmp_path):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"trained IVF clustered recall too low: {recall}"
+
+
+def test_ivf_pq_trained_recall_clustered_and_deterministic(spark, tmp_path):
+    """r16: the full production composite (k-means coarse + residual
+    PQ + shortlist/rerank) must recall >= 0.9 of the exact quantized
+    top-10 on the clustered fixture and be deterministic run-to-run
+    (fixed seed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from infofarmsparkml_spark.operators.llm import (
+        _double_vecs,
+        _qdist,
+        _quantize_vec,
+    )
+
+    d = _write_clustered_embeddings(tmp_path)
+    got1 = {
+        (r["qid"], r["cid"])
+        for r in q("llm_ivf_pq_trained")(spark, d).collect()
+    }
+    got2 = {
+        (r["qid"], r["cid"])
+        for r in q("llm_ivf_pq_trained")(spark, d).collect()
+    }
+    assert got1 == got2, "seeded trained IVF+PQ must be deterministic"
+    quant = _double_vecs(spark, d, "vec_id", "e").select(
+        "vec_id", _quantize_vec("e").alias("qv")
+    )
+    qs = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("va")
+    )
+    cs = quant.select(F.col("vec_id").alias("cid"), F.col("qv").alias("vb"))
+    ver = cs.join(F.broadcast(qs), F.col("qid") != F.col("cid")).select(
+        "qid", "cid", _qdist("va", "vb").alias("dd")
+    )
+    w = W.partitionBy("qid").orderBy("dd", "cid")
+    exact = {
+        (r["qid"], r["cid"])
+        for r in ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    recall = len(got1 & exact) / len(exact)
+    assert recall >= 0.9, f"trained IVF+PQ clustered recall too low: {recall}"
 
 
 def test_simhash_similar_docs_have_close_fingerprints(spark, sf_dir):
@@ -1966,8 +2017,6 @@ def test_ivf_pq_residual_recall_clustered(spark, tmp_path):
     >= 0.8 whatever the encoding evolves into, while
     test_ivf_pq_rerank_recall_vs_exact pins the near-random floor
     (cell-recall-bound ~0.55, gated 0.4)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
@@ -1977,24 +2026,7 @@ def test_ivf_pq_residual_recall_clustered(spark, tmp_path):
         _quantize_vec,
     )
 
-    rng = np.random.default_rng(20260816)
-    n_clusters, per = 25, 80
-    centers = rng.normal(0, 0.6, size=(n_clusters, 64))
-    pts = np.repeat(centers, per, axis=0) + rng.normal(
-        0, 0.04, size=(n_clusters * per, 64)
-    )
-    perm = rng.permutation(len(pts))
-    pd.DataFrame(
-        {
-            "vec_id": np.arange(len(pts), dtype="int64"),
-            "embedding": list(pts[perm].astype("float32")),
-            "label": np.repeat(np.arange(n_clusters), per)[perm].astype(
-                "int32"
-            ),
-        }
-    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
-    d = str(tmp_path)
-
+    d = _write_clustered_embeddings(tmp_path)
     got = {
         (r["qid"], r["cid"]) for r in q("llm_ivf_pq_topk")(spark, d).collect()
     }
