@@ -14,6 +14,7 @@ connected-components loop checkpoints to truncate lineage.
 from __future__ import annotations
 
 import hashlib as _hashlib
+import os
 
 import pandas as pd
 
@@ -1707,6 +1708,23 @@ def _ivf_cosine_topk(
     )
 
 
+def _trained_coarse_centers(emb: DataFrame) -> list:
+    """The ONE seeded coarse quantizer behind both trained ANN twins
+    (k=16, seed=42, maxIter=20, initSteps=2 k-means over the raw
+    embedding vectors): a single definition so
+    `llm_ivf_topk_trained` and `llm_ivf_pq_trained` cannot
+    desynchronize the "same quantizer" contract their docstrings
+    assert (review r16). Returns the 16 centroids as plain float
+    lists."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    km = KMeans(
+        featuresCol="features", k=16, seed=42, maxIter=20, initSteps=2
+    ).fit(emb.withColumn("features", array_to_vector("e")))
+    return [[float(x) for x in c] for c in km.clusterCenters()]
+
+
 @query("llm_ivf_topk_trained")  # trained centroids: rows-only
 def llm_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer (r16, VERDICT r15
@@ -1726,16 +1744,10 @@ def llm_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is a sampled k-means (MLlib trains on a fraction; centers
     are still a 16-row broadcast literal) and everything after it
     scales exactly like `llm_ivf_topk`."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
-    km = KMeans(
-        featuresCol="features", k=16, seed=42, maxIter=20, initSteps=2
-    ).fit(emb.withColumn("features", array_to_vector("e")))
     centers = [
-        F.array(*[F.lit(float(x)) for x in c])
-        for c in km.clusterCenters()
+        F.array(*[F.lit(x) for x in c])
+        for c in _trained_coarse_centers(emb)
     ]
     return _ivf_cosine_topk(emb, centers)
 
@@ -2282,21 +2294,27 @@ def llm_ivf_pq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared `_ivf_pq_rank`, and results are value-identical to
     `llm_ivf_pq_topk` (same oracle, hash-checked independently).
     The index lands under the session's warehouse dir keyed by
-    md5(sf_dir) so concurrent SFs never collide; rewrite is
-    `overwrite` — idempotent re-runs."""
-    import hashlib as _hashlib
-
+    md5(sf_dir): runs over DISTINCT SFs never collide and re-runs
+    over the same SF are idempotent overwrites; two sessions racing
+    the SAME sf_dir would share the path (the sequential driver
+    never does — give concurrent writers distinct warehouse
+    dirs)."""
     quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir)
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{spark.conf.get('spark.sql.warehouse.dir')}/ifsml_pq_index_{tag}"
+    # probe the warehouse dir's writability up front (cheap, local)
+    # instead of catching the write: a blanket except around the
+    # encode job would mask genuine UDF/executor failures and
+    # silently re-run the whole corpus encode (review r16)
+    probe_base = path.removeprefix("file:")
     try:
-        enc.write.partitionBy("cell").mode("overwrite").parquet(path)
-    except Exception:
-        # a driver session may point the warehouse at a non-writable
-        # location; the index is session-scoped scratch, so /tmp is
-        # an equivalent home for it
+        os.makedirs(probe_base, exist_ok=True)
+        with open(os.path.join(probe_base, "_writable_probe"), "w"):
+            pass
+        os.remove(os.path.join(probe_base, "_writable_probe"))
+    except OSError:
         path = f"/tmp/ifsml_pq_index_{tag}"
-        enc.write.partitionBy("cell").mode("overwrite").parquet(path)
+    enc.write.partitionBy("cell").mode("overwrite").parquet(path)
     probe_cells = sorted(
         {int(r["cell"]) for r in qside.select("cell").distinct().collect()}
     )
@@ -2329,19 +2347,13 @@ def llm_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     format — is the recall lever the measurements identified."""
     import numpy as _np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = _double_vecs(spark, sf_dir, "vec_id", "e")
-    km = KMeans(
-        featuresCol="features", k=16, seed=42, maxIter=20, initSteps=2
-    ).fit(emb.withColumn("features", array_to_vector("e")))
     centers = _np.floor(
-        _np.asarray([_np.asarray(c) for c in km.clusterCenters()])
-        * 1048576.0
+        _np.asarray(_trained_coarse_centers(emb)) * 1048576.0
     ).astype("int64")
     quant, enc, qside = _ivf_pq_enc_qside(spark, sf_dir, centers=centers)
     return _ivf_pq_rank(quant, enc, qside)
+
 
 @query("llm_stratified_sample")  # seeded sampler — not SQL-expressible: rows-only
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,14 +72,19 @@ _PRIORITY: list[str] = [
     "fn_json", "join_asof",
     # round-16 slate (VERDICT r15 #2: the 23 rows-only queries'
     # witnesses were the registry's stalest, all r9/r10 — this
-    # slate retires that tail): the r16 newcomer first
-    # (never-witnessed queries lead, per the r2-r10 convention),
-    # then stalest-witness-first from scripts/rotate_slate.py —
-    # the r9 cohort (sql/ts/tpch/udf/win re-witnesses), then the
-    # whole r10 rows-only block (ml_* trained models, sketches,
-    # seeded samplers, mm_audio_features). stream_session_append
-    # and llm_ivf_topk (the r16-refactor-touched ops) ride along.
+    # slate retires most of that tail): the THREE r16 newcomers
+    # first (never-witnessed queries lead, per the r2-r10
+    # convention), then the three r16 BEHAVIOR/REFACTOR-touched
+    # ANN ops (llm_ivf_pq_topk's results+oracle changed to residual
+    # encoding — it MUST be re-witnessed under its own name;
+    # llm_pq_topk and llm_ivf_topk share the refactored helpers),
+    # then stalest-witness-first from scripts/rotate_slate.py — the
+    # r9 cohort (sql/ts/tpch/udf/win re-witnesses), then the r10
+    # rows-only block (ml_* trained models, sketches, samplers).
+    # stream_session_append (multibatch-witnessed this round) rides
+    # along; the last few r10 stragglers head the r17 queue.
     "llm_ivf_topk_trained", "llm_ivf_pq_partitioned", "llm_ivf_pq_trained",
+    "llm_ivf_pq_topk", "llm_pq_topk", "llm_ivf_topk",
     "scan_xml_roundtrip",
     "sql_parameterized",
     "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
@@ -92,10 +97,11 @@ _PRIORITY: list[str] = [
     "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
     "ml_eval_trained", "ml_decision_tree", "ml_random_forest",
     "ml_naive_bayes", "ml_word2vec", "ml_crossval", "ml_gbt",
-    "ml_svm_linear", "ml_cluster_gmm", "ml_cluster_bisecting",
-    "ml_topic_lda", "ml_isotonic",
+    "ml_svm_linear", "ml_cluster_gmm",
     # ---- position 51+: round-17 queue (next-stalest, pre-queued
-    # by scripts/rotate_slate.py on the r15 witness history) ----
+    # by scripts/rotate_slate.py on the r15 witness history; the
+    # three ml_* displaced by the refactor re-witnesses lead) ----
+    "ml_cluster_bisecting", "ml_topic_lda", "ml_isotonic",
     "ml_pipeline_save_load", "mm_audio_features",
     "sample_tablesample", "ts_outlier_mad", "fn_hash_spark",
     "fn_aes_roundtrip", "stream_stateful_tws", "stream_stream_fullouter",
@@ -103,7 +109,7 @@ _PRIORITY: list[str] = [
     "agg_conditional", "agg_bool", "agg_corr_pairs", "agg_approx_top_k",
     "agg_string_agg", "agg_unpivot", "dq_profile", "dq_skew_report",
     "project_arith", "filter_conj", "filter_null", "filter_like",
-    "filter_between_in", "case_when", "graph_degree", "llm_ivf_topk",
+    "filter_between_in", "case_when", "graph_degree",
     "llm_stratified_sample_hash", "graph_kcore_exact", "join_outer_left",
     "join_outer_right", "join_outer_full", "join_semi",
 ]

@@ -15,10 +15,12 @@ Measured per run:
   - for llm_ivf_pq_topk: per-query candidate counts from the
     operator's own cell assignment (recomputed with the operator's
     `_pq_picks` + `_pq_sub_d2` helpers and the same coarse argmin —
-    cited: operators/llm.py::llm_ivf_pq_topk), giving
-      candidate_fraction = candidates / N          (rows touched)
-      probed_byte_fraction = candidates*24B / N*256B (bytes touched:
-        [cell,id,codes] int64 triple vs 64 float32 raw)
+    cited: operators/llm.py::llm_ivf_pq_topk), giving PER-QUERY
+    AVERAGES over the 5 queries:
+      candidate_fraction = total_candidates / (5 * N)  (rows/query)
+      probed_byte_fraction = (total_candidates/5)*24B / (N*256B)
+        (bytes touched per query: [cell,id,codes] int64 triple vs
+         64 float32 raw)
   - for llm_pq_topk: the flat ADC scan reads every CODE row once:
       candidate_fraction = 1.0, byte fraction = 8B/256B = 1/32,
     plus |q| x 200 exact-rerank point lookups.
