@@ -96,22 +96,36 @@ GROUP BY n_name
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape (supplier volume by nation within a region; the
     customer-nation = supplier-nation clause is dropped — the
-    synthetic keys never align, making it trivially empty)."""
+    synthetic keys never align, making it trivially empty).
+
+    r16 (guide §3.1): supplier→nation→region(ASIA) pre-flattened
+    into one broadcast dim keyed s_suppkey — the region filter now
+    drops non-ASIA fact rows at the FIRST (only) dim probe instead
+    of the third, and each surviving row pays one probe, not three.
+    Results identical (inner FK-chain joins commute)."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts_lit("1996-01-01"))
         & (F.col("o_orderdate") < ts_lit("1997-01-01"))
     )
     lf = load_table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
-    reg = F.broadcast(
-        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name")
     )
     return (
         orders.join(lf, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(
             sum_cents(net_cents(), "revenue"),
@@ -505,18 +519,30 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape (product-type profit): the fixture has no
     partsupp.ps_supplycost, so unit cost is modeled as 1% of
     p_retailprice — same five-way join + decimal expression shape.
-    part/supplier/nation broadcast; only lineitem⋈orders shuffles."""
+    part/supplier+nation broadcast; only lineitem⋈orders shuffles.
+
+    r16 (guide §3.1): supplier→nation pre-flattened into one
+    broadcast dim keyed s_suppkey (as tpch_q8 already did), so each
+    fact row pays two probes (part, supplier-nation) instead of
+    three. Results identical."""
     lf = load_table(spark, sf_dir, "lineitem")
     part = F.broadcast(
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%gear%"))
         .select("p_partkey", "p_retailprice")
     )
-    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    nation = F.broadcast(
-        load_table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey"), F.col("n_name").alias("nation")
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey"), F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
         )
+        .select("s_suppkey", "nation")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     cost = (
@@ -525,9 +551,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = (net_price_exact().cast("decimal(18,6)") - cost).cast("decimal(18,6)")
     return (
         lf.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(sum_money(profit, "profit"))
     )
@@ -707,11 +732,28 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates, the 'blamed' supplier is the UNIQUE latest
     shipper in a multi-supplier finished order — the same
     exists/not-exists double-filter expressed as window aggregates
-    over one shuffle of (orderkey, suppkey) partials."""
+    over ONE shuffle of lineitem (r16, guide §2.4): the groupBy
+    used to hash-partition on (orderkey, suppkey) and the window
+    then re-exchanged the aggregate on orderkey — but partial
+    aggregation removes only ~0.2% of lineitem rows here (~4 lines
+    per order, suppliers near-distinct within an order), so that
+    shape shuffled ~2N rows across two barriers. Repartitioning the
+    projected scan by l_orderkey FIRST satisfies both the groupBy
+    (hash on a subset of the grouping keys is a valid clustered
+    distribution) and the window's partitionBy, so the aggregate
+    and both windows run on one exchange of N projected rows —
+    plan: Exchange(l_orderkey) -> HashAggregate -> Sort -> Window,
+    no second Exchange (pinned in tests/test_plans.py). The
+    trade-off (no map-side combine before the shuffle) is ~free at
+    0.998 distinct-ratio; on a dataset where (orderkey, suppkey)
+    collapsed rows substantially the old two-exchange shape would
+    win instead."""
     from pyspark.sql import Window
 
     x = (
         load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("smax"))
     )

@@ -175,6 +175,48 @@ def test_tpch_q2_aggregates_fact_before_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:3000]
 
 
+def test_tpch_q21_single_fact_exchange(spark, sf_dir):
+    """r16: the (orderkey, suppkey) groupBy and the orderkey windows
+    must share ONE exchange of lineitem — repartition(l_orderkey)
+    satisfies both (hash on a key subset is a valid clustered
+    distribution), so no hashpartitioning(l_orderkey, l_suppkey)
+    exchange may reappear. Partial agg removes ~0.2% here, so the
+    two-exchange shape shuffled ~2x the rows (guide §2.4)."""
+    df = q("tpch_q21")(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(l_orderkey" in plan, plan[:3000]
+    import re
+
+    assert not re.search(r"hashpartitioning\(l_orderkey#\d+L, l_suppkey", plan), (
+        "groupBy re-introduced its own exchange:\n" + plan[:3000]
+    )
+    # exactly 2 exchanges total: the fact repartition + the tiny
+    # final s_name aggregation
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 2, f"expected 2 Exchanges, got {n_exchange}:\n{plan[:3000]}"
+
+
+def test_join_broadcast_fact_probes_one_dim(spark, sf_dir):
+    """r16: the snowflake (supplier→nation→region) is pre-flattened,
+    so the lineitem row stream passes exactly ONE BroadcastHashJoin;
+    the other two build the flattened dim on supplier-sized data."""
+    df = q("join_broadcast")(spark, sf_dir)
+    assert explain_str(df, "simple").count("BroadcastHashJoin") == 3
+    plan = explain_str(df)
+    # the flattened dim (s_suppkey, n_name, r_name) is what gets
+    # broadcast to the fact side — its 3-column projection must sit
+    # under a BroadcastExchange
+    import re
+
+    assert re.search(
+        r"BroadcastExchange[\s\S]{0,200}s_suppkey#\d+L, n_name#\d+, r_name#\d+",
+        plan,
+    ), plan[:4000]
+    # and the lineitem scan reads only the 3 columns the query needs
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_suppkey" in ln]
+    assert read and "l_shipdate" not in read[0], read
+
+
 def test_tpch_q16_anti_join_broadcasts(spark, sf_dir):
     df = q("tpch_q16")(spark, sf_dir)
     plan = explain_str(df, "simple")
