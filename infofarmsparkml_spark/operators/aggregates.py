@@ -957,7 +957,19 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per partition before the exchange; the ×4 row expansion
     happens inside the scan stage. The estimate pass touches only
     DISTINCT keys (vocabulary-, not corpus-sized) against the
-    256-row broadcast sketch."""
+    256-row broadcast sketch.
+
+    r16 (guide §2.4): the candidate key set IS the exact-count
+    aggregate's key set — the old plan ran `li.distinct()` as a
+    third full pass over the fact keys and then joined the estimate
+    back to `truth` on k. Deriving the candidates FROM `truth`
+    (carrying true_count through the 256-row broadcast probe and
+    the min-over-rows regroup — true_count is functionally
+    dependent on k, so grouping by both keeps groups identical)
+    removes one corpus-scale scan+shuffle AND the vocabulary-scale
+    est⋈truth join: 3 lineitem passes → 2, 3 exchanges → 2,
+    plan-pinned. Results bit-identical (oracle-verified ×3 SFs;
+    interleaved A/B at sf0.1: min 4.89 s → 4.36 s)."""
     width = 64
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("k")
@@ -983,18 +995,15 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = li.select("k", r_col).withColumn("col", col)
     sketch = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    cand = (
-        li.distinct().select("k", r_col).withColumn("col", col)
-    )
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = truth.select("k", "true_count", r_col).withColumn("col", col)
     est = (
         cand.join(F.broadcast(sketch), ["r", "col"])
-        .groupBy("k")
+        .groupBy("k", "true_count")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
-    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
     return (
-        est.join(truth, "k")
-        .select(
+        est.select(
             F.col("k").alias("part"),
             "cm_estimate",
             "true_count",

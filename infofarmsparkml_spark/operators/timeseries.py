@@ -581,30 +581,36 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier detection per user — the
     robust counterpart to `ts_anomaly_zscore`: one wild value
     inflates a stddev and masks later outliers, but barely moves
-    the median/MAD pair. Two exact-percentile aggregates over
+    the median/MAD pair. Both exact percentiles are computed over
     integer cents (median and the deviation median are .0/.5 exact
-    in both engines — no float summation, no rounding step), the
-    per-user stats broadcast back, and the 5×MAD flag is an exact
-    comparison. Two shuffles on user_id at any scale; at 100 TB
-    swap `percentile` for `approx_percentile` and keep the shape."""
+    in both engines — no float summation, no rounding step) and the
+    5×MAD flag is an exact comparison.
+
+    r16 (guide §2.4): exact `percentile` is NOT partially
+    aggregable — a percentile groupBy ships every row, so the old
+    groupBy→broadcast-back shape shuffled the FULL event stream
+    twice (med agg + mad agg) and re-derived the dev lineage per
+    consumer (4 parquet scans in the plan). Both medians now ride
+    ONE exchange as chained window aggregates over the same
+    partitionBy(user_id): Exchange → Sort → Window(med) →
+    Window(mad) → Filter, 1 scan, no joins — plan-pinned. Memory
+    per task is the same either way (exact percentile buffers the
+    partition in both operators); at 100 TB swap `percentile` for
+    `approx_percentile` and keep the shape."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("vc"),
-    )
-    med = v.groupBy("user_id").agg(
-        F.percentile(F.col("vc"), F.lit(0.5)).alias("med")
-    )
-    dev = v.join(med, "user_id").withColumn(
-        "adev", F.abs(F.col("vc") - F.col("med"))
-    )
-    mad = dev.groupBy("user_id").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    w = W.partitionBy("user_id")
+    d = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .withColumn("med", F.percentile(F.col("vc"), F.lit(0.5)).over(w))
+        .withColumn("adev", F.abs(F.col("vc") - F.col("med")))
+        .withColumn("mad", F.percentile(F.col("adev"), F.lit(0.5)).over(w))
     )
     return (
-        dev.join(mad, "user_id")
-        .filter(
+        d.filter(
             (F.col("mad") > 0)
             & (F.abs(F.col("vc") - F.col("med")) > 5 * F.col("mad"))
         )

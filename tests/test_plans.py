@@ -813,13 +813,34 @@ def test_dataset_card_is_single_scan(spark, sf_dir):
 
 def test_outlier_mad_shuffles_only_on_user(spark, sf_dir):
     """Median + MAD stats exchange on user_id only — no global
-    aggregation, no window sort of the full series."""
+    aggregation. r16: exact percentile is not partially aggregable,
+    so the old groupBy→join-back shape shuffled the full stream
+    twice and re-derived the dev lineage (4 scans); both medians now
+    ride ONE exchange as chained window aggregates over the same
+    partitionBy — 1 scan, 1 exchange, 2 Window nodes, no joins."""
     import re
 
     plan = explain_str(q("ts_outlier_mad")(spark, sf_dir), "simple")
     assert "Exchange SinglePartition" not in plan, plan[:3000]
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
     assert keys <= {"user_id"}, keys
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert plan.count("Window") == 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_count_min_topk_two_fact_passes(spark, sf_dir):
+    """r16: the candidate set derives from the exact-count aggregate
+    (truth) instead of a third `distinct()` pass, and the estimate
+    never joins back — 2 lineitem scans (sketch + truth), 2 keyed
+    exchanges, and the only join is the 256-row broadcast sketch
+    probe."""
+    plan = explain_str(q("agg_count_min_topk")(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 2, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert plan.count("SortMergeJoin") == 0, plan[:3000]
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
 
 
 def test_leakage_split_audit_is_expression_level(spark, sf_dir):
