@@ -390,7 +390,7 @@ def ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     MulticlassClassificationEvaluator in tests/test_ml.py).
 
     Scale shape: AUC needs a global rank over scores — stamped by
-    ``global_row_number`` (range partition + per-partition window +
+    ``global_row_number`` (range partition + monotonic-id in-partition ranks +
     broadcast offsets), never a SinglePartition window; everything
     else is one partial+final aggregate. Both engines fold z in
     index order → doubles bit-identical; all metric divisions share

@@ -74,11 +74,25 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     running frames, so the oracle keeps the equivalent fill-group
     trick (a running count of observed rows is constant across a run
     of missing hours, so MAX per (user, count) group is the carried
-    value)."""
+    value).
+
+    r16 (guide §2.4, the tpch_q21 treatment): the hourly aggregate
+    removes only ~4% of event rows (95.6k distinct (user, hour)
+    groups per 100k events at sf0.1), so the old shape shuffled ~2N
+    rows across two barriers — Exchange(user_id, h) for the groupBy
+    plus Exchange(user_id) for the lead() window. Repartitioning the
+    projected scan by user_id FIRST satisfies both (hash on a subset
+    of the grouping keys is a valid clustered distribution), so the
+    aggregate and the window share ONE exchange of N projected rows;
+    `repartition(col)` without a count stays AQE-coalescible.
+    Results bit-identical (oracle-verified ×3 SFs)."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    hourly = (
+        ev.select("user_id", "ts", "value")
+        .repartition("user_id")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
     w = W.partitionBy("user_id").orderBy("h")
     seg = hourly.select(
         "user_id", "h", "v", F.lead("h").over(w).alias("nh")
@@ -238,13 +252,23 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction is a ratio of integer hour counts, and interpolated
     values round half-up via the same explicit floor(x·100 + 0.5) on
     both engines (they CAN land exactly on .00005 boundaries — cents
-    × a dyadic fraction — where native ROUND half-modes differ)."""
+    × a dyadic fraction — where native ROUND half-modes differ).
+
+    r16 (guide §2.4, the tpch_q21 treatment, same as
+    `ts_gap_fill_locf`): the hourly aggregate removes only ~4% of
+    event rows, so repartitioning the projected scan by user_id
+    FIRST lets the groupBy(user_id, h) and the lead() window share
+    ONE exchange of N rows instead of two full-stream barriers.
+    Results bit-identical (oracle-verified ×3 SFs)."""
     ev = load_table(spark, sf_dir, "events")
     from infofarmsparkml_spark.operators._util import cents
 
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.sum(cents("value")).alias("vc"))
+    hourly = (
+        ev.select("user_id", "ts", "value")
+        .repartition("user_id")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(cents("value")).alias("vc"))
+    )
     w = W.partitionBy("user_id").orderBy("h")
     seg = hourly.select(
         "user_id",

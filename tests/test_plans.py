@@ -125,16 +125,21 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
 def test_sort_multi_no_global_window_of_orders(spark, sf_dir):
     df = q("sort_multi")(spark, sf_dir)
     plan = explain_str(df, "simple")
-    # the heavy orders data range-partitions; its rank window is
-    # partitioned by _pid. The ONLY SinglePartition exchange allowed
-    # is the O(n_parts)-row offsets cumsum after the per-partition
-    # count aggregate — never the orders rows themselves.
+    # r16 global_row_number shape: ranks come from
+    # monotonically_increasing_id arithmetic, NOT a partitionBy(_pid)
+    # window — the old window made ENSURE_REQUIREMENTS insert a
+    # FULL-ROW hashpartitioning(_pid) exchange above the range
+    # exchange (heavy data shuffled twice on the rank path). The only
+    # Window left is the O(n_parts)-row offsets cumsum, and the ONLY
+    # SinglePartition exchange allowed is that cumsum's, fed by the
+    # per-partition stats aggregate — never the orders rows.
     assert "rangepartitioning" in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert plan.count("Exchange SinglePartition") <= 1, plan[:3000]
     if "Exchange SinglePartition" in plan:
         # the tree prints top-down, so the exchange's CHILD (the
-        # tiny per-partition count aggregate) must appear in the
+        # tiny per-partition stats aggregate) must appear in the
         # lines just below it — i.e. only aggregated rows are
         # single-partitioned, never the orders table
         lines = plan.splitlines()
@@ -537,9 +542,13 @@ def test_interpolate_windows_segments_not_spine(spark, sf_dir):
     """ts_interpolate_linear's only window must run over the compact
     observed-hourly rows, with the dense spine generated AFTER it
     (segment-explode) — windowing the exploded spine was a 29x
-    regression at sf0.1 and its sort state grows with series span."""
+    regression at sf0.1 and its sort state grows with series span.
+    r16: the hourly groupBy and the lead() window share ONE exchange
+    (repartition(user_id) first — hash on a subset of the grouping
+    keys; partial agg removed only ~4% here)."""
     plan = explain_str(q("ts_interpolate_linear")(spark, sf_dir), "simple")
     assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
     lines = plan.splitlines()
     gen = min(i for i, ln in enumerate(lines) if "Generate explode" in ln)
     win = min(i for i, ln in enumerate(lines) if "Window" in ln)
@@ -564,9 +573,12 @@ def test_gap_fill_windows_segments_not_spine(spark, sf_dir):
     """ts_gap_fill_locf (r11 segment-explode rewrite) must window
     only the compact observed-hourly rows — one lead() window, no
     spine join, and the explode generated AFTER the window so fill
-    cost scales with observations, not series span."""
+    cost scales with observations, not series span. r16: the hourly
+    groupBy and the lead() window share ONE exchange
+    (repartition(user_id) first, as in ts_interpolate_linear)."""
     plan = explain_str(q("ts_gap_fill_locf")(spark, sf_dir), "simple")
     assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("Exchange") == 1, plan[:3000]
     assert "Join" not in plan, plan[:3000]
     lines = plan.splitlines()
     gen = min(i for i, ln in enumerate(lines) if "Generate explode" in ln)
