@@ -162,12 +162,20 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     A bare `rank() OVER (ORDER BY ...)` collapses to one partition —
     the single-reducer anti-pattern. Instead: (1) repartitionByRange
     samples the key for balanced boundaries, (2) each partition
-    sorts locally and ranks with a PER-PARTITION window, (3) tiny
-    per-partition counts cumsum into offsets that broadcast back.
-    Result is the exact global rank (the compound key is unique so
-    rank == row_number), and the heavy data shuffles exactly once.
+    sorts locally and stamps monotonically_increasing_id — in sorted
+    order, consecutive within a partition — so the in-partition rank
+    is pure arithmetic, (3) tiny per-partition stats (count + min id)
+    cumsum into offsets that broadcast back. Result is the exact
+    global rank (the compound key is unique so rank == row_number).
     The rank column makes global order checkable by the
-    order-insensitive hash."""
+    order-insensitive hash.
+
+    r16 (guide §2.4, same defect as global_row_number): the previous
+    per-partition rank WINDOW partitioned by spark_partition_id made
+    ENSURE_REQUIREMENTS insert a FULL-ROW hashpartitioning(pid)
+    exchange above the range exchange — the heavy data shuffled
+    twice on the rank path. The monotonic-id rank needs no window,
+    so the heavy data range-shuffles once. Results bit-identical."""
     key = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -178,11 +186,11 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.repartitionByRange(8, *key)
         .sortWithinPartitions(*key)
         .withColumn("pid", F.spark_partition_id())
-        .withColumn("local_rn", F.row_number().over(W.partitionBy("pid").orderBy(*key)))
+        .withColumn("mid", F.monotonically_increasing_id())
     )
     offsets = (
         local.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("mid").alias("mid0"))
         .withColumn(
             "offset",
             F.coalesce(
@@ -192,14 +200,16 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ),
         )
-        .select("pid", "offset")
+        .select("pid", "mid0", "offset")
     )
     return (
         local.join(F.broadcast(offsets), "pid")
         .select(
             "o_orderkey",
             "o_totalprice",
-            (F.col("offset") + F.col("local_rn")).alias("price_rank"),
+            (F.col("offset") + (F.col("mid") - F.col("mid0")) + 1).alias(
+                "price_rank"
+            ),
         )
     )
 

@@ -234,9 +234,17 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
     )
+    # r16 (guide §2.4/§5): tf (the postings table) feeds BOTH the
+    # document-frequency aggregate and the scoring join, and exchange
+    # reuse does not fire across the differently-pruned consumers —
+    # the corpus explode + (doc_id, dl, term) aggregate ran TWICE
+    # (3 parquet scans in the before plan). localCheckpoint builds
+    # the inverted index once (what a real retrieval system persists
+    # anyway); measured at sf0.1: median 2.78 s → 2.41 s, results
+    # bit-identical.
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -153,10 +153,14 @@ def test_sort_multi_no_global_window_of_orders(spark, sf_dir):
 def test_sort_range_partitioned_no_global_window(spark, sf_dir):
     df = q("sort_range_partitioned")(spark, sf_dir)
     plan = explain_str(df, "simple")
-    # heavy data range-partitions; the global rank comes from the
-    # per-partition window + broadcast offsets, never a
-    # SinglePartition exchange of the orders table
+    # heavy data range-partitions; the global rank comes from
+    # monotonic-id arithmetic + broadcast offsets (r16: the old
+    # per-partition rank window made ENSURE_REQUIREMENTS add a
+    # full-row hashpartitioning(pid) exchange), never a
+    # SinglePartition exchange of the orders table. The only Window
+    # is the O(n_parts)-row offsets cumsum.
     assert "rangepartitioning" in plan, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
@@ -938,6 +942,11 @@ def test_bm25_broadcasts_query_side(spark, sf_dir):
     # the global term-rank window runs over the vocabulary, which
     # is the one intentional single-partition stage
     assert plan.count("Exchange SinglePartition") <= 2
+    # r16: the postings table (tf) is checkpointed, so the corpus
+    # explode + (doc_id, dl, term) aggregate builds ONCE — the only
+    # remaining parquet scan is the 1-row corpus-stats aggregate
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert "Scan ExistingRDD" in plan, plan[:3000]
 
 
 def test_udtf_analyze_single_scan_lateral(spark, sf_dir):
