@@ -952,12 +952,10 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_approx_top_k`: this is the sketch you OWN, i.e. the one
     that can be merged across days/streams by cell-wise addition.
 
-    Scale: the sketch build is one hash aggregate with 256 (r,col)
-    groups — fully map-side combinable, so 100 TB collapses to 256
-    rows per partition before the exchange; the ×4 row expansion
-    happens inside the scan stage. The estimate pass touches only
-    DISTINCT keys (vocabulary-, not corpus-sized) against the
-    256-row broadcast sketch.
+    Scale: ONE fact pass (the exact-count aggregate, fully map-side
+    combinable); everything downstream — sketch cells, candidates,
+    estimates — is vocabulary-sized. The estimate pass touches only
+    DISTINCT keys against the 256-row broadcast sketch.
 
     r16 (guide §2.4): the candidate key set IS the exact-count
     aggregate's key set — the old plan ran `li.distinct()` as a
@@ -969,7 +967,15 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes one corpus-scale scan+shuffle AND the vocabulary-scale
     est⋈truth join: 3 lineitem passes → 2, 3 exchanges → 2,
     plan-pinned. Results bit-identical (oracle-verified ×3 SFs;
-    interleaved A/B at sf0.1: min 4.89 s → 4.36 s)."""
+    interleaved A/B at sf0.1: min 4.89 s → 4.36 s).
+
+    r17 (guide §2.4): the remaining second fact pass (explode every
+    row ×4 + md5 per expanded row, aggregated to 256 cells) is
+    redundant too — COUNT(*) per cell over the row expansion equals
+    SUM(true_count) over the keys hashing to that cell, so the
+    sketch now derives from `truth`: 2 fact passes → 1 (single
+    `Scan parquet` + ReusedExchange in the plan, pinned), ~15× fewer
+    md5 evaluations. Results bit-identical (same exact integers)."""
     width = 64
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("k")
@@ -993,9 +999,24 @@ def agg_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % width
     )
-    hashed = li.select("k", r_col).withColumn("col", col)
-    sketch = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
     truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    # r17 (guide §2.4): the sketch was built by a SECOND full fact
+    # pass (explode every lineitem row ×4, md5 each — 2.4M md5s at
+    # sf0.1) aggregated to 256 cells. But COUNT(*) per (r, col) over
+    # the row expansion equals SUM(true_count) over the KEYS hashing
+    # to that cell (every row of key k lands in exactly the cells of
+    # k), so the sketch derives from `truth` — vocabulary-scale, one
+    # md5 per key per row-hash instead of per fact row: 2 fact
+    # passes → 1, 2.4M md5s → 160k. Both sketch and cand consume the
+    # same truth aggregate, whose exchange subtree canonicalizes
+    # identically (ReusedExchange). cnt is bit-identical (sum of
+    # exact per-key counts = exact cell count).
+    sketch = (
+        truth.select("k", "true_count", r_col)
+        .withColumn("col", col)
+        .groupBy("r", "col")
+        .agg(F.sum("true_count").alias("cnt"))
+    )
     cand = truth.select("k", "true_count", r_col).withColumn("col", col)
     est = (
         cand.join(F.broadcast(sketch), ["r", "col"])

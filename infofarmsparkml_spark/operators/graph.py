@@ -505,10 +505,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_hash"
     )
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # r17 (guide §2.4): corners was a 3-way unionAll of projections
+    # of `tri` — Catalyst planned THREE full copies of the
+    # e1⋈e2⋈e3 path join (no exchange reuse across the branches;
+    # before plan shows 3 identical ShuffledHashJoin trees), so the
+    # ~49M-row length-2 path enumeration ran 3×. explode(array())
+    # emits the same 3 corner rows per triangle in ONE pass over
+    # one copy of the join. Identical multiset of corners, identical
+    # counts.
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy(F.col("node").alias("part")).agg(
         F.count(F.lit(1)).alias("n_triangles")

@@ -162,11 +162,13 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        minhashes per doc (min over md5-derived per-seed token
        hashes — JVM-side, no Python);
     2. band keys (md5 of each band's r signature rows joined in
-       seed order) unpivot to long form (doc_id, band, bk) and docs
-       self-join ONCE on (band, bk) — candidates are generated
-       inside buckets only, never all-pairs, and the single join
-       keeps Catalyst from splitting the signature aggregate per
-       band (plan-pinned in tests/test_plans.py);
+       seed order) unpivot to long form (doc_id, band, bk) and
+       pairs are emitted per (band, bk) BUCKET (group → sorted id
+       array → streaming i<j pair explode) — candidates are
+       generated inside buckets only, never all-pairs, and the
+       single consumer keeps the signature aggregate to ONE pass
+       (plan-pinned in tests/test_plans.py; the former self-join
+       planned the aggregate twice, once per side);
     3. the banded union is deduped and every candidate is verified
        with EXACT Jaccard over token sets (array_intersect /
        array_union, whole-stage codegen), so emitted distances are
@@ -201,13 +203,32 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     ).localCheckpoint()
     sig_long = _minhash_sig_long(tok_sets)
-    left = sig_long.select(F.col("doc_id").alias("doc_a"), "band", "bk")
-    right = sig_long.select(F.col("doc_id").alias("doc_b"), "band", "bk")
-    cand = (
-        left.join(right, ["band", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # r17 (guide §2.4): candidates were a self-join of sig_long on
+    # (band, bk) — and because the small side sat under a
+    # BroadcastExchange, exchange reuse could not fire, so the
+    # signature aggregate (explode every corpus token, 24 md5+min
+    # aggregations per token — the dominant compute) ran TWICE.
+    # Bucket-explode generates the identical pair set from ONE
+    # signature pass: group the 3·n_docs signature rows by bucket,
+    # sort each bucket's doc ids, and emit the i<j pairs with two
+    # streaming Generates (posexplode + slice) — no self-join, no
+    # second aggregate, and the per-bucket pair count m(m-1)/2 is
+    # exactly what the join's m² probe emitted after doc_a < doc_b.
+    # A hot bucket costs one O(m)-long array per row (LSH banding at
+    # r=8 keeps buckets small by design; a mega-bucket means banding
+    # has already failed), while the pair stream itself is pipelined.
+    buckets = (
+        sig_long.groupBy("band", "bk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "doc_a")
+    ).select(
+        "doc_a",
+        F.explode(
+            F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("doc_b"),
     )
     # Size-ratio prune BEFORE the token arrays join: J >= 0.9499
     # (the emit threshold incl. rounding slack) forces
@@ -218,15 +239,25 @@ def llm_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOOSER than the threshold (9499/10000 < 0.94995) so every
     # rounding-edge pair still reaches the exact verify: output is
     # bit-identical to the unpruned plan.
+    # r17: the prune now runs BEFORE the banded-union distinct (it
+    # is a deterministic per-pair predicate, so filtering before or
+    # after dedup keeps the set identical) — 57% fewer rows pay the
+    # dedup exchange, and na/nb ride through it (functionally
+    # dependent on the pair) instead of being re-attached after.
+    # The explicit repartition("doc_a") makes ONE exchange serve
+    # both the distinct (clustering on a key subset satisfies it)
+    # and the doc_a verify probe (the q21 treatment).
     sizes = tok_sets.select("doc_id", F.size("toks").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     pruned = (
-        cand.join(F.broadcast(sa), "doc_a")
+        pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(
             F.least("na", "nb") * 10000 >= F.greatest("na", "nb") * 9499
         )
+        .repartition("doc_a")
+        .distinct()
     )
     # shuffle_hash on the token-set sides: the default SMJ SORTS the
     # ~1M pruned candidate rows (plus the ~300-element arrays it

@@ -175,7 +175,17 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENSURE_REQUIREMENTS insert a FULL-ROW hashpartitioning(pid)
     exchange above the range exchange — the heavy data shuffled
     twice on the rank path. The monotonic-id rank needs no window,
-    so the heavy data range-shuffles once. Results bit-identical."""
+    so the heavy data range-shuffles once. Results bit-identical.
+
+    r17: same size-gated materialization as global_row_number (see
+    sorts.py — above the conf'd byte threshold the stamped frame is
+    checkpointed so offsets and stream read ONE physical execution;
+    below it the lazy double-derivation is the measured-faster arm)."""
+    from infofarmsparkml_spark.operators.sorts import (
+        _estimated_bytes,
+        _materialize_threshold_bytes,
+    )
+
     key = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -188,6 +198,8 @@ def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .withColumn("mid", F.monotonically_increasing_id())
     )
+    if _estimated_bytes(orders) > _materialize_threshold_bytes(orders):
+        local = local.localCheckpoint()
     offsets = (
         local.groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n"), F.min("mid").alias("mid0"))

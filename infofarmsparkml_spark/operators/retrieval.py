@@ -242,6 +242,23 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the inverted index once (what a real retrieval system persists
     # anyway); measured at sf0.1: median 2.78 s → 2.41 s, results
     # bit-identical.
+    #
+    # r17 (ADVICE r16): the trade-offs of localCheckpoint here are
+    # deliberate and bounded. (a) It runs the postings job EAGERLY at
+    # DataFrame-construction time — acceptable because every harness
+    # (bench.py, driver_sim, the external driver) times/verifies
+    # construction + execution together, so the cost is never hidden,
+    # and each call builds a FRESH checkpoint (results reflect the
+    # parquet inputs at call time, never a stale copy). (b) The lazy
+    # alternative, .persist(), was evaluated and REJECTED: Spark's
+    # CacheManager matches canonicalized plans, so a persisted
+    # postings table from bench run 1 would be silently reused by
+    # runs 2-3 of the same query (fn() re-built per run) — cross-run
+    # result caching, which the driver contract forbids. (c) Lineage
+    # truncation: executor loss makes the checkpointed index
+    # unrecoverable mid-query; at cluster scale the production form
+    # is an explicit index table on storage (the pattern
+    # llm_ivf_pq_partitioned demonstrates), not a bigger cache.
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint()

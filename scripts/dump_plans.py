@@ -24,7 +24,7 @@ def main() -> int:
 
     spark = get_spark("dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(_ROOT, "plans", "r16")
+    outdir = os.path.join(_ROOT, "plans", os.environ.get("PLANS_OUTDIR", "r17"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn, _ = registry.get(name)
