@@ -62,21 +62,32 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is scanned exactly once with zero shuffles before the
     final 2-key aggregation.
 
-    r16 (guide §3.1/§2.3): the supplier→nation→region snowflake is
-    pre-flattened into ONE broadcast dim keyed on s_suppkey, so
-    each fact row pays a single hash probe instead of three chained
-    probes with intermediate row-widening. The flatten itself runs
-    on supplier-sized data (nation/region broadcast into it), the
-    broadcast ships only (s_suppkey, n_name, r_name), and the
-    results are identical (inner equi-joins along FK chains).
-    Local wall is noise-level at sf0.1 (~600k fact rows); the win
-    is per-fact-row work at scale."""
+    r17 (VERDICT r16 #1, settled by measurement): r16 pre-flattened
+    the supplier→nation→region snowflake into one broadcast dim so
+    each fact row paid a single hash probe, kept on at-scale
+    arithmetic despite a neutral-to-negative local reading. The
+    clean interleaved A/B this round (9 rounds, idle host, results
+    identical per arm, scripts/ab_join_broadcast.py,
+    plans/r17/AB_join_broadcast.json) measured the CHAINED form
+    faster at BOTH sf0.1 (min 0.92 vs 1.05 s) and the 10× sf1
+    fixture (min 0.87 vs 0.93 s, median 0.99 vs 1.07 s): this query
+    is fixed-overhead-dominated even at 6M fact rows, and the dim
+    pre-flatten is an extra job per run that never pays back, while
+    Catalyst already pipelines the three chained probes inside one
+    codegen stage with no materialized intermediate row. REVERTED
+    to chained broadcasts per the decision rule (no headline query
+    ships slower than its own before-arm). tpch_q5/q9 KEEP their
+    flattens: there the flatten also moves a selective region/
+    nation filter to the first probe, which this unfiltered
+    aggregate-everything query lacks."""
     lf = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount"
     )
-    dim = (
-        load_table(spark, sf_dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
+    return (
+        lf.join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(
             F.broadcast(load_table(spark, sf_dir, "nation")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -85,10 +96,6 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(load_table(spark, sf_dir, "region")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .select("s_suppkey", "n_name", "r_name")
-    )
-    return (
-        lf.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name", "r_name")
         .agg(
             sum_cents(net_cents(), "revenue"),

@@ -67,40 +67,19 @@ def _load_all_operator_modules() -> None:
 # CORRECTNESS_r*.json history. Positions 51+ pre-queue the NEXT
 # round (per-section comments below date each cohort).
 _PRIORITY: list[str] = [
-    # sentinels (driver-PASS every round r1-r14; re-run each round)
+    # sentinels (driver-PASS every round; re-run each round)
     "agg_groupby", "win_frame_range", "stream_tumbling",
     "fn_json", "join_asof",
-    # round-16 slate (VERDICT r15 #2: the 23 rows-only queries'
-    # witnesses were the registry's stalest, all r9/r10 — this
-    # slate retires most of that tail): the THREE r16 newcomers
-    # first (never-witnessed queries lead, per the r2-r10
-    # convention), then the three r16 BEHAVIOR/REFACTOR-touched
-    # ANN ops (llm_ivf_pq_topk's results+oracle changed to residual
-    # encoding — it MUST be re-witnessed under its own name;
-    # llm_pq_topk and llm_ivf_topk share the refactored helpers),
-    # then stalest-witness-first from scripts/rotate_slate.py — the
-    # r9 cohort (sql/ts/tpch/udf/win re-witnesses), then the r10
-    # rows-only block (ml_* trained models, sketches, samplers).
-    # stream_session_append (multibatch-witnessed this round) rides
-    # along; the last few r10 stragglers head the r17 queue.
-    "llm_ivf_topk_trained", "llm_ivf_pq_partitioned", "llm_ivf_pq_trained",
-    "llm_ivf_pq_topk", "llm_pq_topk", "llm_ivf_topk",
-    "scan_xml_roundtrip",
-    "sql_parameterized",
-    "sql_scripting", "sql_udf", "ts_interpolate_linear", "tpch_q1", "tpch_q3",
-    "tpch_q6", "tpch_q9", "tpch_q21", "udf_map_in_arrow", "udtf_analyze",
-    "udf_cogroup_arrow", "win_distinct_running", "win_median_rolling",
-    "fn_regexp", "stream_stream_leftouter", "stream_session_append",
-    "agg_histogram", "agg_approx_distinct", "agg_percentile_approx",
-    "agg_hll_sketch_union", "graph_triangles_doulion", "llm_knn_join_exact",
-    "llm_stratified_sample", "join_skew_salted", "llm_curation_pipeline",
-    "ml_classify_lr", "ml_cluster_kmeans", "ml_recommend_als",
-    "ml_eval_trained", "ml_decision_tree", "ml_random_forest",
-    "ml_naive_bayes", "ml_word2vec", "ml_crossval", "ml_gbt",
-    "ml_svm_linear", "ml_cluster_gmm",
-    # ---- position 51+: round-17 queue (next-stalest, pre-queued
-    # by scripts/rotate_slate.py on the r15 witness history; the
-    # three ml_* displaced by the refactor re-witnesses lead) ----
+    # round-17 slate (VERDICT r16 #9: ship the pre-queued cohort
+    # unchanged): exactly the stalest-witness-first list
+    # scripts/rotate_slate.py derives from CORRECTNESS_r1..r16 — the
+    # r16-queued block (ml_* re-witnesses lead, then the r11 cohort)
+    # extended to 45 with the next-stalest r11 joins/setops. Of this
+    # round's plan changes, ts_outlier_mad and ml_pipeline_save_load /
+    # ml_topic_lda (decomposed this round) are in-slate;
+    # graph_triangles/agg_count_min_topk/llm_minhash_lsh_dedup were
+    # witnessed r16 and cycle back per staleness, with PARITY_r17
+    # covering all 283 meanwhile.
     "ml_cluster_bisecting", "ml_topic_lda", "ml_isotonic",
     "ml_pipeline_save_load", "mm_audio_features",
     "sample_tablesample", "ts_outlier_mad", "fn_hash_spark",
@@ -112,6 +91,21 @@ _PRIORITY: list[str] = [
     "filter_between_in", "case_when", "graph_degree",
     "llm_stratified_sample_hash", "graph_kcore_exact", "join_outer_left",
     "join_outer_right", "join_outer_full", "join_semi",
+    "join_anti", "join_theta", "join_cross", "join_multikey_selfjoin",
+    "scan_partition_pruned", "join_dpp", "set_union_distinct",
+    "set_intersect", "set_except",
+    # ---- position 51+: round-18 queue (next-stalest, pre-queued
+    # by scripts/rotate_slate.py on the r16 witness history) ----
+    "distinct_rows", "sql_correlated_scalar", "ts_gap_fill_locf",
+    "tpch_q18", "tpch_q8", "udf_scalar_arrow", "udaf_grouped_agg",
+    "win_ranking", "win_analytic", "win_frame_rows", "agg_stats_higher",
+    "agg_collect", "agg_pivot", "etl_scd2", "llm_text_stats",
+    "llm_lang_id", "llm_fingerprint", "llm_simhash",
+    "llm_repetition_score", "llm_contamination", "llm_quota_sample",
+    "llm_mix_rebalance", "llm_prefix_dedup", "llm_unigram_logprob",
+    "ml_tokenize_tf", "ml_tfidf", "ml_ngram_stopwords", "ml_word_count",
+    "ml_sentiment_lexicon", "ml_linreg", "mm_binary_metadata",
+    "mm_decode_wav_ppm",
 ]
 
 

@@ -238,22 +238,20 @@ def test_tpch_q21_single_fact_exchange(spark, sf_dir):
     assert n_exchange == 2, f"expected 2 Exchanges, got {n_exchange}:\n{plan[:3000]}"
 
 
-def test_join_broadcast_fact_probes_one_dim(spark, sf_dir):
-    """r16: the snowflake (supplier→nation→region) is pre-flattened,
-    so the lineitem row stream passes exactly ONE BroadcastHashJoin;
-    the other two build the flattened dim on supplier-sized data."""
+def test_join_broadcast_chained_zero_fact_shuffle(spark, sf_dir):
+    """r17 (VERDICT r16 #1 settle): join_broadcast REVERTED to three
+    chained broadcast probes — the r16 flattened dim measured slower
+    at sf0.1 AND sf1 (AB_join_broadcast.json). Pin the properties
+    that matter: 3 BroadcastHashJoins all on the fact stream (no
+    shuffle of lineitem before the final aggregation exchange), and
+    a pruned 3-column fact scan."""
     df = q("join_broadcast")(spark, sf_dir)
-    assert explain_str(df, "simple").count("BroadcastHashJoin") == 3
+    simple = explain_str(df, "simple")
+    assert simple.count("BroadcastHashJoin") == 3, simple[:3000]
+    assert "SortMergeJoin" not in simple
+    # the only real exchange is the final (n_name, r_name) aggregate
+    assert n_exchanges(simple) == 1, simple[:3000]
     plan = explain_str(df)
-    # the flattened dim (s_suppkey, n_name, r_name) is what gets
-    # broadcast to the fact side — its 3-column projection must sit
-    # under a BroadcastExchange
-    import re
-
-    assert re.search(
-        r"BroadcastExchange[\s\S]{0,200}s_suppkey#\d+L, n_name#\d+, r_name#\d+",
-        plan,
-    ), plan[:4000]
     # and the lineitem scan reads only the 3 columns the query needs
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_suppkey" in ln]
     assert read and "l_shipdate" not in read[0], read
